@@ -1,0 +1,120 @@
+"""Typed configuration for the AIS receiver chain.
+
+The reference hard-codes these constants across its hier blocks
+(reference: python/radio.py:47-62, python/ais_demod.py:28-52,
+python/gmsk_sync.py:14-37).  Here they live in frozen dataclasses so every
+stage is explicitly parameterized and jit-static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+# --- AIS physical constants (reference: python/radio.py:47,86-89) ---------
+AIS_BIT_RATE = 9600.0          # bits/s, GMSK
+AIS_CHANNEL_A_HZ = 161.975e6   # AIS channel A ("87B")
+AIS_CHANNEL_B_HZ = 162.025e6   # AIS channel B ("88B")
+AIS_CENTER_HZ = 162.0e6        # hardware tune point between A and B
+GMSK_BT = 0.4                  # Gaussian filter bandwidth-time product
+PREAMBLE_NRZI = (1, 1, 0, 0) * 7  # NRZI line pattern of the 0101... training
+                                  # sequence (reference: python/ais_demod.py:36)
+
+
+@dataclass(frozen=True)
+class ChannelizerConfig:
+    """Freq-xlating FIR channelizer: mix to baseband, low-pass, decimate.
+
+    Reference: python/radio.py:49-54 — firdes.low_pass(1, rate, 11000, 1000)
+    plus freq_xlating_fir_filter_ccf(decim, taps, +-25e3, rate).
+    """
+
+    input_rate: float = 250e3
+    offset_hz: float = -25e3       # A: -25 kHz, B: +25 kHz of 162.0 MHz
+    cutoff_hz: float = 11000.0
+    transition_hz: float = 1000.0
+    decimation: int = 0            # 0 -> derive: int(rate / (bit_rate * 5))
+
+    def resolved_decimation(self) -> int:
+        if self.decimation:
+            return self.decimation
+        return int(self.input_rate / (AIS_BIT_RATE * 5))
+
+    @property
+    def output_rate(self) -> float:
+        return self.input_rate / self.resolved_decimation()
+
+
+@dataclass(frozen=True)
+class DemodConfig:
+    """GMSK burst demodulator parameters.
+
+    Reference: python/radio.py:56-62 (option dict) and
+    python/ais_demod.py:28-52 (block instantiations).
+    """
+
+    samples_per_symbol: float = 5.0
+    bit_rate: float = AIS_BIT_RATE
+    fftlen: int = 1024             # AFC FFT size (python/radio.py:61)
+    agc_window: int = 512          # feedforward AGC window (ais_demod.py:35)
+    agc_reference: float = 2.0
+    corr_threshold: float = 0.9    # fraction of autocorr peak (ais_demod.py:42)
+    corr_mark_delay: int = 1       # samples past peak to seed timing
+    clockrec_gain: float = 0.04    # timing loop proportional gain
+    omega_relative_limit: float = 0.01
+    gmsk_bt: float = GMSK_BT
+    # Burst extraction: window of raw samples handed to per-burst timing
+    # recovery.  Must cover preamble + flags + max stuffed frame + slack.
+    # Max HDLC frame here is 64 bytes payload (python/radio.py:64), i.e.
+    # <= (24 + 8 + (512+16)*1.2 + 8) bits ~ 674 bits ~ 3370 samples @ 5 sps.
+    burst_len: int = 4096
+    max_bursts_per_block: int = 32
+
+    @property
+    def sample_rate(self) -> float:
+        return self.samples_per_symbol * self.bit_rate
+
+    @property
+    def max_symbols_per_burst(self) -> int:
+        # Leave room for interpolator lookahead at the burst tail.
+        return int((self.burst_len - 16) / self.samples_per_symbol)
+
+
+@dataclass(frozen=True)
+class DeframerConfig:
+    """HDLC deframer bounds (reference: python/radio.py:64 — (11, 64))."""
+
+    min_length_bytes: int = 11
+    max_length_bytes: int = 64
+
+
+@dataclass(frozen=True)
+class ReceiverConfig:
+    """Full per-channel receive path (channelizer + demod + deframer).
+
+    Reference: the `ais_rx` hier block, python/radio.py:40-73.
+    """
+
+    channelizer: ChannelizerConfig = ChannelizerConfig()
+    demod: DemodConfig = DemodConfig()
+    deframer: DeframerConfig = DeframerConfig()
+    designator: str = "A"
+
+    def with_offset(self, offset_hz: float, designator: str) -> "ReceiverConfig":
+        return dataclasses.replace(
+            self,
+            channelizer=dataclasses.replace(self.channelizer, offset_hz=offset_hz),
+            designator=designator,
+        )
+
+
+def dual_channel_configs(input_rate: float = 250e3) -> tuple[ReceiverConfig, ReceiverConfig]:
+    """Channel A/B configs off a 162.0 MHz-centered capture.
+
+    Reference: python/radio.py:88-89 — A at -25 kHz, B at +25 kHz.
+    """
+    base = ReceiverConfig(channelizer=ChannelizerConfig(input_rate=input_rate))
+    return (
+        base.with_offset(AIS_CHANNEL_A_HZ - AIS_CENTER_HZ, "A"),
+        base.with_offset(AIS_CHANNEL_B_HZ - AIS_CENTER_HZ, "B"),
+    )
