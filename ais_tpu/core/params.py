@@ -60,6 +60,15 @@ class DemodConfig:
     agc_reference: float = 2.0
     corr_threshold: float = 0.9    # fraction of autocorr peak (ais_demod.py:42)
     corr_mark_delay: int = 1       # samples past peak to seed timing
+    # Non-max-suppression radius (samples) around a correlation peak.  The
+    # periodic [1,1,0,0]*7 preamble yields sidelobe peaks every 4 symbols;
+    # suppressing over ~2x the ramp+training+flag span keeps one detection
+    # per burst (packets are >= 1280 samples apart on-air).
+    nms_radius: int = 256
+    # AFC estimate gating: chunks whose squared-spectrum tone-to-floor
+    # ratio is below this hold the previous confident estimate (None =
+    # ungated, reference-faithful).  See ops/freq.py:gate_and_hold.
+    afc_gate_ratio: float | None = 6.0
     clockrec_gain: float = 0.04    # timing loop proportional gain
     omega_relative_limit: float = 0.01
     gmsk_bt: float = GMSK_BT

@@ -1,0 +1,43 @@
+"""Feedforward burst AGC.
+
+Equivalent of upstream `analog.feedforward_agc_cc(nsamples=512, reference=2)`
+(reference: python/ais_demod.py:35): every output sample is the input
+scaled so that the peak envelope over the `nsamples` window *ahead* of it
+equals the reference level.  Critical for bursty AIS — the gain snaps to
+the burst amplitude before the burst arrives instead of averaging over
+silence.
+
+The reference computes the window max per-sample (O(n*w) C++ loop); here
+it is one `lax.reduce_window` max, which XLA lowers to a logarithmic
+scan on the VPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def feedforward_agc(
+    x: jax.Array,
+    window: int = 512,
+    reference: float = 2.0,
+    floor: float = 1e-12,
+) -> jax.Array:
+    """x: (..., n) complex. Returns x * reference / lookahead_env_max.
+
+    At the block tail the lookahead window shrinks (right edge padded
+    with -inf); callers keep bursts out of the last `window` samples via
+    halo framing.
+    """
+    mag = jnp.abs(x)
+    env = jax.lax.reduce_window(
+        mag,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1,) * (x.ndim - 1) + (window,),
+        window_strides=(1,) * x.ndim,
+        padding=[(0, 0)] * (x.ndim - 1) + [(0, window - 1)],
+    )
+    gain = reference / jnp.maximum(env, floor)
+    return x * gain.astype(x.real.dtype)

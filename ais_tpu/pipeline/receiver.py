@@ -1,0 +1,137 @@
+"""Single-stream AIS burst demodulator: complex baseband -> per-burst bits.
+
+The tensor-pipeline equivalent of the reference's `ais_demod` hier block
+chain (reference: python/ais_demod.py:56):
+
+  square_and_fft_sync -> feedforward_agc -> corr_est -> msk_timing_recovery
+  -> quadrature_demod -> slicer -> diff_decoder -> invert
+
+but instead of a thread-per-block stream graph, one jitted function maps a
+halo'd time block `(block_len,)` to a fixed-size table of burst records
+(max_bursts x n_symbols bits + metadata).  Burst peaks are only accepted
+inside the block core `[0, core_len)`; the halo `[core_len, block_len)`
+guarantees every accepted burst's full packet, AGC lookahead, and
+correlator lookahead lie inside the block, so consecutive blocks stepped
+by `core_len` decode every packet exactly once (overlap-save framing,
+SURVEY.md section 5.7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ais_tpu.core.params import DemodConfig
+from ais_tpu.ops.agc import feedforward_agc
+from ais_tpu.ops.demod import quadrature_demod, slice_diff_invert
+from ais_tpu.ops.freq import square_and_fft_sync
+from ais_tpu.sync.corr import autocorr_threshold, detect_bursts, matched_filter
+from ais_tpu.sync.timing import msk_timing_recovery
+from ais_tpu.tx.gmsk import preamble_waveform
+
+
+class BurstRecords(NamedTuple):
+    """Fixed-size per-block burst table (the tensor form of the reference's
+    corr_start/time_est/phase_est/corr_est stream tags)."""
+
+    position: jax.Array    # (K,) i32 — preamble start sample within block
+    center: jax.Array      # (K,) f32 — fractional peak offset in (-1, 1)
+    phase: jax.Array       # (K,) f32 — correlator phase at the peak
+    mag: jax.Array         # (K,) f32 — |corr|^2 at the peak
+    valid: jax.Array       # (K,) bool
+    bits: jax.Array        # (K, n_symbols) u8 — NRZI-decoded bits
+    bit_valid: jax.Array   # (K, n_symbols) bool
+    freq_est: jax.Array    # (n_chunks,) f32 — AFC estimates (debug)
+
+
+def required_halo(cfg: DemodConfig) -> int:
+    """Lookahead a block must carry past its core so any core-start burst
+    is fully processable: burst window + correlator preamble + AGC window."""
+    preamble_len = int(round(cfg.samples_per_symbol)) * 28
+    return cfg.burst_len + max(cfg.agc_window, preamble_len) + 16
+
+
+def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
+    """Build the jittable (block_len,) -> BurstRecords demodulator."""
+    if block_len % cfg.fftlen != 0:
+        raise ValueError(f"block_len {block_len} not a multiple of fftlen {cfg.fftlen}")
+    if core_len > block_len - required_halo(cfg):
+        raise ValueError(
+            f"core_len {core_len} leaves less than required halo "
+            f"{required_halo(cfg)} in block_len {block_len}"
+        )
+    sps_int = int(round(cfg.samples_per_symbol))
+    wf = preamble_waveform(sps_int, cfg.gmsk_bt)
+    thresh = autocorr_threshold(wf, cfg.corr_threshold)
+    n_sym = cfg.max_symbols_per_burst
+    fs = cfg.sample_rate
+
+    def demod(x: jax.Array) -> BurstRecords:
+        # AGC first (commutes with the AFC's pure rotation); detection runs
+        # on the per-chunk derotated stream like the reference chain, but
+        # each *burst* is decoded with one constant frequency correction —
+        # the (gated) estimate of the chunk holding its preamble — so a
+        # packet straddling a chunk boundary never sees a mid-packet
+        # carrier discontinuity (the reference does: python/gmsk_sync.py:26
+        # re-rasterizes a new estimate every fftlen samples regardless).
+        a = feedforward_agc(x, cfg.agc_window, cfg.agc_reference)
+        y_det, est = square_and_fft_sync(
+            a, fs, cfg.bit_rate, cfg.fftlen, gate_ratio=cfg.afc_gate_ratio
+        )
+        corr = matched_filter(y_det, wf)
+        pos, centers, phases, mags, valid = detect_bursts(
+            corr, thresh, cfg.nms_radius, cfg.max_bursts_per_block, core_len
+        )
+        # Seed timing recovery at peak + mark_delay, with one guard sample
+        # for the mu<0 adjustment (reference lib/corr_est_cc_impl.cc:248-253
+        # -> lib/msk_timing_recovery_cc_impl.cc:148-153).
+        starts = jnp.clip(pos + cfg.corr_mark_delay - 1, 0, block_len - cfg.burst_len)
+        bursts = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(a, (s,), (cfg.burst_len,))
+        )(starts)
+        burst_freq = est[jnp.clip(pos // cfg.fftlen, 0, est.shape[-1] - 1)]
+        k = jnp.arange(cfg.burst_len, dtype=jnp.float32)
+        carrier_phase = (-2.0 * jnp.pi / fs) * burst_freq[:, None] * k[None, :]
+        bursts = bursts * jax.lax.complex(
+            jnp.cos(carrier_phase), jnp.sin(carrier_phase)
+        )
+        tr = jax.vmap(
+            lambda b, m: msk_timing_recovery(
+                b,
+                m,
+                cfg.samples_per_symbol,
+                cfg.clockrec_gain,
+                cfg.omega_relative_limit,
+                n_sym,
+            )
+        )(bursts, centers)
+        soft = quadrature_demod(tr.symbols)
+        bits = slice_diff_invert(soft)
+        return BurstRecords(pos, centers, phases, mags, valid, bits, tr.valid, est)
+
+    return demod
+
+
+@functools.lru_cache(maxsize=16)
+def jit_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
+    """Cached jit of the block demodulator for a given static shape."""
+    return jax.jit(make_burst_demod(cfg, block_len, core_len))
+
+
+def frame_stream(iq: np.ndarray, block_len: int, core_len: int) -> np.ndarray:
+    """Overlap-save framing: (n,) -> (n_blocks, block_len), stepped by
+    core_len, zero-padded at the tail.  Block b starts at b * core_len."""
+    iq = np.asarray(iq, dtype=np.complex64)
+    n = iq.size
+    n_blocks = max(1, -(-n // core_len))
+    padded = np.zeros(core_len * (n_blocks - 1) + block_len, dtype=np.complex64)
+    padded[:n] = iq
+    stride = padded.strides[0]
+    return np.lib.stride_tricks.as_strided(
+        padded, shape=(n_blocks, block_len), strides=(core_len * stride, stride)
+    )

@@ -76,11 +76,17 @@ def make_packet_iq(
     samples_per_symbol: int = 5,
     bt: float = 0.4,
     ramp_bits: int = 8,
+    tail_bits: int = 8,
     phase0: float = 0.0,
 ) -> np.ndarray:
-    """Payload -> GMSK complex baseband burst at `sps` samples/symbol."""
+    """Payload -> GMSK complex baseband burst at `sps` samples/symbol.
+
+    `tail_bits` buffer bits follow the closing flag (as on-air AIS does)
+    so the Gaussian pulse tail doesn't truncate mid-flag.
+    """
     from ais_tpu.tx.gmsk import modulate_bits
 
     wire = frame_bits(payload, ramp_bits)
+    wire = np.concatenate([wire, np.ones(tail_bits, dtype=np.uint8)])
     levels = nrzi_encode(wire)
     return modulate_bits(levels, samples_per_symbol, bt, phase0)
