@@ -1,0 +1,84 @@
+"""`ais_rx` command-line receiver.
+
+Equivalent of the reference's CLI app (reference: apps/ais_rx:12-23) with
+the same option surface where meaningful
+(reference: python/radio.py:100-125): `-s` source, `-r` rate, `-S`
+single-channel, `-e` ppm error; `-g/-R/-A/-D` exist for interface parity
+but only apply to SDR hardware, which this build drives via UDP instead.
+
+Prints decoded !AIVDM sentences to stdout like the reference's
+pdu_to_nmea `print` port (reference: lib/pdu_to_nmea_impl.cc:133-135).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ais_rx", description="TPU-native AIS receiver (gr-ais capabilities)"
+    )
+    p.add_argument(
+        "-s",
+        "--source",
+        default="uhd",
+        help="source: uhd, osmocom, <filename>, or <ip:port> [default=%(default)s]",
+    )
+    p.add_argument("-r", "--rate", type=float, default=250e3, help="sample rate [default=%(default)s]")
+    p.add_argument(
+        "-S",
+        "--singlechannel",
+        action="store_true",
+        help="decode a single 0-offset channel instead of A & B",
+    )
+    p.add_argument("-e", "--error", type=float, default=0.0, help="device ppm error (hardware sources)")
+    p.add_argument("-g", "--gain", type=int, default=None, help="RF gain (hardware sources)")
+    p.add_argument("-R", "--subdev", default=None, help="USRP subdevice (hardware sources)")
+    p.add_argument("-A", "--antenna", default=None, help="antenna (hardware sources)")
+    p.add_argument("-D", "--args", default="", help="device args (hardware sources)")
+    p.add_argument(
+        "-F",
+        "--format",
+        default="complex64",
+        choices=["complex64", "cf32", "ci16", "cs16", "ci8", "cs8", "cu8"],
+        help="IQ sample format of the source [default=%(default)s]",
+    )
+    p.add_argument("--repeat", action="store_true", help="loop a file source")
+    p.add_argument(
+        "--meta",
+        action="store_true",
+        help="prefix each sentence with sample position, channel, corr power",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    options = build_parser().parse_args(argv)
+    from ais_tpu.io.sources import FileSource, open_source
+    from ais_tpu.pipeline.radio import AisRadio
+
+    src = open_source(options.source, options.rate, options.format)
+    if isinstance(src, FileSource):
+        src.repeat = options.repeat
+    print(f"Rate is {int(options.rate)}", file=sys.stderr)
+    radio = AisRadio(sample_rate=options.rate, single_channel=options.singlechannel)
+    try:
+        for packet in radio.run(src):
+            if options.meta:
+                print(
+                    f"[{packet.designator} @{packet.abs_sample} "
+                    f"corr={packet.corr_mag:.0f} f={packet.freq_est_hz:+.0f}Hz] "
+                    f"{packet.nmea}",
+                    flush=True,
+                )
+            else:
+                print(packet.nmea, flush=True)
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

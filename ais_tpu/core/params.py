@@ -72,6 +72,14 @@ class DemodConfig:
     clockrec_gain: float = 0.04    # timing loop proportional gain
     omega_relative_limit: float = 0.01
     gmsk_bt: float = GMSK_BT
+    # Timing recovery implementation:
+    #   "feedforward" — TPU-native tone-phase burst estimator
+    #     (sync/feedforward.py): no sequential state, pure vector math.
+    #   "pll" — faithful port of the reference's sequential D'Andrea loop
+    #     (sync/timing.py, lib/msk_timing_recovery_cc_impl.cc) as a
+    #     per-burst lax.scan; much slower to compile/run on TPU.
+    timing_mode: str = "feedforward"
+    ff_seg_len: int = 256          # feedforward tone-phase segment length
     # Burst extraction: window of raw samples handed to per-burst timing
     # recovery.  Must cover preamble + flags + max stuffed frame + slack.
     # Max HDLC frame here is 64 bytes payload (python/radio.py:64), i.e.

@@ -1,0 +1,146 @@
+"""IQ sample sources: file, UDP, synthetic.
+
+Equivalent of the reference's `_setup_source`
+(reference: python/radio.py:151-215), which builds UHD / osmosdr / UDP /
+file sources.  SDR hardware drivers don't exist in this environment, so
+the hardware paths raise with a clear message while file/UDP/synthetic
+cover the decode-path capabilities.  Formats cover the common SDR
+interchange encodings (complex64, interleaved int16/int8/uint8).
+
+When the native C++ loader is built (ais_tpu/native), file conversion of
+integer formats routes through it; numpy is the fallback.
+"""
+
+from __future__ import annotations
+
+import socket
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+_FORMATS = {
+    "complex64": (np.complex64, 1),
+    "cf32": (np.complex64, 1),
+    "ci16": (np.int16, 2),
+    "cs16": (np.int16, 2),
+    "ci8": (np.int8, 2),
+    "cs8": (np.int8, 2),
+    "cu8": (np.uint8, 2),  # rtl_sdr capture format
+}
+
+
+def _convert(raw: np.ndarray, fmt: str) -> np.ndarray:
+    """Interleaved integer IQ -> complex64 in [-1, 1]."""
+    if fmt in ("complex64", "cf32"):
+        return raw.astype(np.complex64)
+    try:
+        from ais_tpu.native import iq_convert  # C++ fast path
+
+        return iq_convert(raw, fmt)
+    except Exception:
+        pass
+    if fmt in ("ci16", "cs16"):
+        f = raw.astype(np.float32) / 32768.0
+    elif fmt in ("ci8", "cs8"):
+        f = raw.astype(np.float32) / 128.0
+    elif fmt == "cu8":
+        f = (raw.astype(np.float32) - 127.5) / 127.5
+    else:
+        raise ValueError(f"unknown IQ format {fmt!r}")
+    return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+
+
+def read_iq_file(path: str | Path, fmt: str = "complex64") -> np.ndarray:
+    """Whole-file read -> complex64 baseband (reference: python/radio.py:212)."""
+    dtype, lanes = _FORMATS[fmt]
+    raw = np.fromfile(str(path), dtype=dtype)
+    if fmt in ("complex64", "cf32"):
+        return raw.astype(np.complex64)
+    if raw.size % 2:
+        raw = raw[:-1]
+    return _convert(raw, fmt)
+
+
+class SampleSource:
+    """Iterator over chunks of complex64 samples."""
+
+    sample_rate: float
+
+    def chunks(self, chunk_len: int) -> Iterator[np.ndarray]:
+        raise NotImplementedError
+
+
+@dataclass
+class FileSource(SampleSource):
+    path: str
+    sample_rate: float = 250e3
+    fmt: str = "complex64"
+    repeat: bool = False
+
+    def chunks(self, chunk_len: int) -> Iterator[np.ndarray]:
+        dtype, lanes = _FORMATS[self.fmt]
+        itemsize = np.dtype(dtype).itemsize * lanes
+        while True:
+            with open(self.path, "rb") as f:
+                while True:
+                    buf = f.read(chunk_len * itemsize)
+                    if not buf:
+                        break
+                    raw = np.frombuffer(buf, dtype=dtype)
+                    if lanes == 2 and raw.size % 2:
+                        raw = raw[:-1]
+                    yield _convert(raw, self.fmt)
+            if not self.repeat:
+                return
+
+
+@dataclass
+class UdpSource(SampleSource):
+    """UDP datagram IQ source (reference: python/radio.py:204-210)."""
+
+    host: str
+    port: int
+    sample_rate: float = 250e3
+    fmt: str = "complex64"
+    timeout_s: float | None = None
+
+    def chunks(self, chunk_len: int) -> Iterator[np.ndarray]:
+        dtype, lanes = _FORMATS[self.fmt]
+        itemsize = np.dtype(dtype).itemsize * lanes
+        want = chunk_len * itemsize
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.bind((self.host, self.port))
+        if self.timeout_s is not None:
+            sock.settimeout(self.timeout_s)
+        pending = b""
+        try:
+            while True:
+                try:
+                    data, _ = sock.recvfrom(65536)
+                except socket.timeout:
+                    return
+                if not data:
+                    return
+                pending += data
+                while len(pending) >= want:
+                    raw = np.frombuffer(pending[:want], dtype=dtype)
+                    pending = pending[want:]
+                    yield _convert(raw, self.fmt)
+        finally:
+            sock.close()
+
+
+def open_source(source: str, sample_rate: float, fmt: str = "complex64") -> SampleSource:
+    """Parse the reference CLI's `-s` convention: "uhd" | "osmocom" |
+    <ip:port> | <filename> (reference: python/radio.py:105-106, 202-213)."""
+    if source in ("uhd", "osmocom"):
+        raise RuntimeError(
+            f"SDR hardware source {source!r} is not available in this build; "
+            "stream samples over UDP (ip:port) or use a capture file"
+        )
+    if ":" in source and not Path(source).exists():
+        host, port = source.rsplit(":", 1)
+        return UdpSource(host=host, port=int(port), sample_rate=sample_rate, fmt=fmt)
+    return FileSource(path=source, sample_rate=sample_rate, fmt=fmt)

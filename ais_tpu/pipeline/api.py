@@ -8,6 +8,12 @@ channel-rate complex baseband (default 48 ksps), get decoded packets.
 `ChannelReceiver` adds the front-end channelizer: feed it wideband IQ
 centered at 162.0 MHz, it mixes/filters/decimates to one AIS channel and
 decodes (reference: python/radio.py:49-63).
+
+Both are *streaming-safe*: consecutive `process()` calls are treated as
+one continuous stream.  The receiver carries the tail of each call into
+the next (the tensor-pipeline replacement for GNU Radio's ring-buffer
+history) so packets straddling a call boundary decode exactly once —
+the position-keyed deduper drops the second sighting.
 """
 
 from __future__ import annotations
@@ -50,31 +56,53 @@ class BasebandReceiver:
         self.designator = designator
         self.block_len = block_len
         self.core_len = core_len or (block_len - required_halo(demod))
+        if self.core_len <= 0:
+            raise ValueError(f"block_len {block_len} too small for halo")
         self._demod = jit_burst_demod(demod, block_len, self.core_len)
         self._deduper = PacketDeduper(window=2 * demod.burst_len)
-        self._consumed = 0
+        # Streaming carry: tail samples re-presented to the next call so
+        # call-boundary packets are never lost.
+        self._overlap = self.block_len - self.core_len
+        self._tail = np.zeros(0, dtype=np.complex64)
+        self._tail_start = 0  # absolute sample index of _tail[0]
+        self._next_start = 0  # absolute index of the next fresh sample
 
-    def process(self, iq: np.ndarray) -> list[DecodedPacket]:
-        """Decode a contiguous chunk of baseband samples.
+    def process(
+        self, iq: np.ndarray, start_sample: int | None = None
+    ) -> list[DecodedPacket]:
+        """Decode a chunk that continues the stream of previous calls.
 
-        Stateless across calls except packet dedup; callers streaming
-        continuously should pass overlapping chunks or use StreamDriver.
+        `start_sample` overrides the stream position (e.g. when an
+        upstream channelizer owns the sample counter); it must equal the
+        caller's absolute index of iq[0] and be monotonic.
         """
-        blocks = frame_stream(iq, self.block_len, self.core_len)
+        iq = np.asarray(iq, dtype=np.complex64)
+        if start_sample is not None and start_sample != self._next_start:
+            # Position jump: reset carry.
+            self._tail = np.zeros(0, dtype=np.complex64)
+            self._next_start = start_sample
+        self._tail_start = self._next_start - self._tail.size
+        arr = np.concatenate([self._tail, iq]) if self._tail.size else iq
+        base = self._tail_start
+        self._next_start += iq.size
+
         packets: list[DecodedPacket] = []
-        for b in range(blocks.shape[0]):
-            records = self._demod(jnp.asarray(blocks[b]))
-            packets.extend(
-                decode_block_records(
-                    records,
-                    block_start_sample=self._consumed + b * self.core_len,
-                    designator=self.designator,
-                    deframer=self.deframer_cfg,
-                    deduper=self._deduper,
-                    fftlen=self.demod_cfg.fftlen,
+        if arr.size > 0:
+            blocks = frame_stream(arr, self.block_len, self.core_len)
+            for b in range(blocks.shape[0]):
+                records = self._demod(jnp.asarray(blocks[b]))
+                packets.extend(
+                    decode_block_records(
+                        records,
+                        block_start_sample=base + b * self.core_len,
+                        designator=self.designator,
+                        deframer=self.deframer_cfg,
+                        deduper=self._deduper,
+                        fftlen=self.demod_cfg.fftlen,
+                    )
                 )
-            )
-        self._consumed += int(np.asarray(iq).size)
+        keep = min(arr.size, self._overlap)
+        self._tail = arr[arr.size - keep :]
         return packets
 
     def sentences(self, iq: np.ndarray) -> list[str]:
@@ -102,21 +130,39 @@ class ChannelReceiver:
             designator=config.designator,
             block_len=block_len,
         )
-        self._consumed = 0
+        # Raw-domain streaming carry: enough to re-present the FIR history
+        # plus one decimation phase; decode-domain carry lives in the
+        # BasebandReceiver.
+        self._ntaps = int(self.taps.size)
+        self._tail = np.zeros(0, dtype=np.complex64)
+        self._next_start = 0
 
     def process(self, iq: np.ndarray) -> list[DecodedPacket]:
         chan = self.config.channelizer
-        phase0 = mixer_phase(chan.offset_hz, chan.input_rate, self._consumed)
-        baseband = freq_xlating_fir_decimate(
-            jnp.asarray(np.asarray(iq, dtype=np.complex64)),
-            self.taps,
-            chan.offset_hz,
-            chan.input_rate,
-            self.decim,
-            phase0=phase0,
+        iq = np.asarray(iq, dtype=np.complex64)
+        arr = np.concatenate([self._tail, iq]) if self._tail.size else iq
+        start = self._next_start - self._tail.size  # abs index of arr[0]
+        self._next_start += iq.size
+        if arr.size < self._ntaps:
+            self._tail = arr
+            return []
+        phase0 = mixer_phase(chan.offset_hz, chan.input_rate, start)
+        baseband = np.asarray(
+            freq_xlating_fir_decimate(
+                jnp.asarray(arr),
+                self.taps,
+                chan.offset_hz,
+                chan.input_rate,
+                self.decim,
+                phase0=phase0,
+            )
         )
-        self._consumed += int(np.asarray(iq).size)
-        return self.baseband.process(np.asarray(baseband))
+        # Baseband sample b sits at raw index start + b*decim; keep the raw
+        # tail so the next call's first baseband sample continues the grid.
+        n_base = baseband.shape[-1]
+        consumed_raw = n_base * self.decim
+        self._tail = arr[consumed_raw:]
+        return self.baseband.process(baseband, start_sample=start // self.decim)
 
     def sentences(self, iq: np.ndarray) -> list[str]:
         return [p.nmea for p in self.process(iq)]

@@ -31,6 +31,7 @@ from ais_tpu.ops.agc import feedforward_agc
 from ais_tpu.ops.demod import quadrature_demod, slice_diff_invert
 from ais_tpu.ops.freq import square_and_fft_sync
 from ais_tpu.sync.corr import autocorr_threshold, detect_bursts, matched_filter
+from ais_tpu.sync.feedforward import feedforward_symbols
 from ais_tpu.sync.timing import msk_timing_recovery
 from ais_tpu.tx.gmsk import preamble_waveform
 
@@ -65,6 +66,8 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
             f"core_len {core_len} leaves less than required halo "
             f"{required_halo(cfg)} in block_len {block_len}"
         )
+    if cfg.timing_mode not in ("feedforward", "pll"):
+        raise ValueError(f"unknown timing_mode {cfg.timing_mode!r}")
     sps_int = int(round(cfg.samples_per_symbol))
     wf = preamble_waveform(sps_int, cfg.gmsk_bt)
     thresh = autocorr_threshold(wf, cfg.corr_threshold)
@@ -100,19 +103,33 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
         bursts = bursts * jax.lax.complex(
             jnp.cos(carrier_phase), jnp.sin(carrier_phase)
         )
-        tr = jax.vmap(
-            lambda b, m: msk_timing_recovery(
-                b,
-                m,
-                cfg.samples_per_symbol,
-                cfg.clockrec_gain,
-                cfg.omega_relative_limit,
-                n_sym,
-            )
-        )(bursts, centers)
-        soft = quadrature_demod(tr.symbols)
+        if cfg.timing_mode == "feedforward":
+            symbols, sym_valid = jax.vmap(
+                lambda b: feedforward_symbols(
+                    b,
+                    cfg.samples_per_symbol,
+                    n_sym,
+                    bt=cfg.gmsk_bt,
+                    seg_len=cfg.ff_seg_len,
+                )
+            )(bursts)
+        elif cfg.timing_mode == "pll":
+            tr = jax.vmap(
+                lambda b, m: msk_timing_recovery(
+                    b,
+                    m,
+                    cfg.samples_per_symbol,
+                    cfg.clockrec_gain,
+                    cfg.omega_relative_limit,
+                    n_sym,
+                )
+            )(bursts, centers)
+            symbols, sym_valid = tr.symbols, tr.valid
+        else:
+            raise ValueError(f"unknown timing_mode {cfg.timing_mode!r}")
+        soft = quadrature_demod(symbols)
         bits = slice_diff_invert(soft)
-        return BurstRecords(pos, centers, phases, mags, valid, bits, tr.valid, est)
+        return BurstRecords(pos, centers, phases, mags, valid, bits, sym_valid, est)
 
     return demod
 

@@ -1,0 +1,160 @@
+"""Streaming-continuity and radio/CLI surface tests."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ais_tpu.pipeline import BasebandReceiver
+from ais_tpu.pipeline.radio import AisRadio
+from ais_tpu.io.sources import FileSource, UdpSource, open_source, read_iq_file
+from ais_tpu.tx import aivdm_payload_to_bytes, make_packet_iq
+
+PAYLOAD = "14eG;o@034o8sd<L9i:a;WF>062D"
+SENTENCE = "!AIVDM,1,1,,A,14eG;o@034o8sd<L9i:a;WF>062D,0*7D"
+
+
+def _noise(n, seed=0, scale=0.01):
+    rng = np.random.default_rng(seed)
+    return ((rng.normal(size=n) + 1j * rng.normal(size=n)) * scale).astype(np.complex64)
+
+
+@pytest.fixture(scope="module")
+def packet():
+    return make_packet_iq(aivdm_payload_to_bytes(PAYLOAD), samples_per_symbol=5)
+
+
+class TestStreamingContinuity:
+    def test_packet_split_across_calls(self, packet):
+        iq = _noise(40000)
+        pos = 19500  # the 20k call boundary falls mid-packet
+        iq[pos : pos + packet.size] += packet
+        rx = BasebandReceiver()
+        got = rx.process(iq[:20000]) + rx.process(iq[20000:])
+        assert [p.nmea for p in got] == [SENTENCE]
+        assert abs(got[0].abs_sample - pos) < 100
+
+    def test_no_duplicates_when_fully_in_first_call(self, packet):
+        iq = _noise(40000)
+        iq[16000 : 16000 + packet.size] += packet
+        rx = BasebandReceiver()
+        got = rx.process(iq[:20000]) + rx.process(iq[20000:])
+        assert [p.nmea for p in got] == [SENTENCE]
+
+    def test_many_small_chunks(self, packet):
+        iq = _noise(60000)
+        for pos in (9000, 33000, 50000):
+            iq[pos : pos + packet.size] += packet
+        rx = BasebandReceiver()
+        got = []
+        for i in range(0, 60000, 6000):
+            got.extend(rx.process(iq[i : i + 6000]))
+        assert [p.nmea for p in got] == [SENTENCE] * 3
+
+
+class TestRadio:
+    def test_dual_channel_wideband(self, packet):
+        # 240 ksps wideband with a packet on each channel.
+        fs = 240e3
+        raw = aivdm_payload_to_bytes(PAYLOAD)
+        burst = make_packet_iq(raw, samples_per_symbol=25)
+        t = np.arange(burst.size) / fs
+        iq = _noise(int(fs), scale=0.005)
+        iq[20000 : 20000 + burst.size] += (
+            burst * np.exp(-2j * np.pi * 25e3 * t)
+        ).astype(np.complex64)
+        iq[120000 : 120000 + burst.size] += (
+            burst * np.exp(+2j * np.pi * 25e3 * t)
+        ).astype(np.complex64)
+        radio = AisRadio(sample_rate=fs)
+        packets = radio.process(iq)
+        assert [(p.designator) for p in packets] == ["A", "B"]
+        assert packets[0].nmea == SENTENCE
+        assert packets[1].nmea == SENTENCE.replace(",A,", ",B,").replace("*7D", "*7E")
+
+    def test_radio_run_over_file_source(self, packet, tmp_path):
+        fs = 240e3
+        raw = aivdm_payload_to_bytes(PAYLOAD)
+        burst = make_packet_iq(raw, samples_per_symbol=25)
+        t = np.arange(burst.size) / fs
+        iq = _noise(int(fs) // 2, scale=0.005)
+        iq[100000 : 100000 + burst.size] += (
+            burst * np.exp(-2j * np.pi * 25e3 * t)
+        ).astype(np.complex64)
+        path = tmp_path / "capture.iq"
+        iq.tofile(path)
+        src = FileSource(path=str(path), sample_rate=fs)
+        radio = AisRadio(sample_rate=fs)
+        packets = list(radio.run(src, chunk_len=65536))
+        assert [p.nmea for p in packets] == [SENTENCE]
+
+
+class TestIo:
+    def test_read_iq_formats(self, tmp_path):
+        x = (np.arange(8) - 4 + 1j * (np.arange(8) + 1)).astype(np.complex64) / 10
+        p = tmp_path / "a.fc32"
+        x.tofile(p)
+        np.testing.assert_array_equal(read_iq_file(p, "complex64"), x)
+
+        i16 = np.zeros(16, dtype=np.int16)
+        i16[0::2] = np.arange(8) * 1000
+        i16[1::2] = -np.arange(8) * 1000
+        p16 = tmp_path / "a.ci16"
+        i16.tofile(p16)
+        y = read_iq_file(p16, "ci16")
+        np.testing.assert_allclose(y.real, np.arange(8) * 1000 / 32768.0, atol=1e-6)
+        np.testing.assert_allclose(y.imag, -np.arange(8) * 1000 / 32768.0, atol=1e-6)
+
+        u8 = np.full(8, 127, dtype=np.uint8)
+        pu8 = tmp_path / "a.cu8"
+        u8.tofile(pu8)
+        z = read_iq_file(pu8, "cu8")
+        assert np.all(np.abs(z) < 0.02)  # 127 ~ midscale
+
+    def test_open_source_dispatch(self, tmp_path):
+        f = tmp_path / "x.iq"
+        f.write_bytes(b"\0" * 8)
+        assert isinstance(open_source(str(f), 48e3), FileSource)
+        assert isinstance(open_source("127.0.0.1:5000", 48e3), UdpSource)
+        with pytest.raises(RuntimeError):
+            open_source("uhd", 48e3)
+
+    def test_file_source_chunking_and_repeat(self, tmp_path):
+        x = np.arange(100, dtype=np.complex64)
+        p = tmp_path / "s.iq"
+        x.tofile(p)
+        src = FileSource(path=str(p), sample_rate=48e3)
+        chunks = list(src.chunks(64))
+        assert [c.size for c in chunks] == [64, 36]
+        np.testing.assert_array_equal(np.concatenate(chunks), x)
+
+
+class TestCli:
+    def test_cli_decodes_file(self, tmp_path, packet):
+        iq = _noise(48000 * 2)
+        iq[30000 : 30000 + packet.size] += packet
+        path = tmp_path / "c.iq"
+        iq.tofile(path)
+        out = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "ais_tpu.cli.ais_rx",
+                "-s",
+                str(path),
+                "-r",
+                "48000",
+                "-S",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            env={
+                "PATH": "/usr/bin:/bin:/usr/local/bin",
+                "PYTHONPATH": "/root/.axon_site",
+                "JAX_PLATFORMS": "cpu",
+                "HOME": "/root",
+            },
+        )
+        assert SENTENCE in out.stdout, (out.stdout, out.stderr[-2000:])
