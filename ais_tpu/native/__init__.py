@@ -1,0 +1,173 @@
+"""Native (C++) runtime kernels with ctypes bindings.
+
+The reference keeps its byte-rate path in C++ (GNU Radio blocks); here
+the equivalent host-side kernels — integer-IQ conversion, CRC-16/X.25,
+HDLC deframing — live in `ais_native.cpp`, built to `libais_native.so`
+on first use (g++ direct, or `cmake` via build_native.sh).  Every entry
+point has a pure-numpy twin in the package, so the native library is an
+accelerator, never a requirement; tests assert both agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_LIB_PATH = _HERE / "libais_native.so"
+_lib = None
+_build_attempted = False
+
+
+def _build() -> bool:
+    src = _HERE / "ais_native.cpp"
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                str(src),
+                "-o",
+                str(_LIB_PATH),
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def load():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _build_attempted
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        if _build_attempted or os.environ.get("AIS_TPU_NO_NATIVE"):
+            return None
+        _build_attempted = True
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.iq_convert_i16.argtypes = [
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_float,
+    ]
+    lib.iq_convert_i8.argtypes = [
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_float,
+    ]
+    lib.iq_convert_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_float,
+        ctypes.c_float,
+    ]
+    lib.crc16_x25.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.crc16_x25.restype = ctypes.c_uint16
+    lib.hdlc_deframe.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+    ]
+    lib.hdlc_deframe.restype = ctypes.c_int32
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def iq_convert(raw: np.ndarray, fmt: str) -> np.ndarray:
+    """Interleaved integer IQ -> complex64 via the native converter."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    raw = np.ascontiguousarray(raw)
+    n = raw.size // 2
+    out = np.empty(2 * n, dtype=np.float32)
+    optr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    if fmt in ("ci16", "cs16"):
+        lib.iq_convert_i16(
+            raw.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), optr, n, 1.0 / 32768.0
+        )
+    elif fmt in ("ci8", "cs8"):
+        lib.iq_convert_i8(
+            raw.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), optr, n, 1.0 / 128.0
+        )
+    elif fmt == "cu8":
+        lib.iq_convert_u8(
+            raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            optr,
+            n,
+            127.5,
+            1.0 / 127.5,
+        )
+    else:
+        raise ValueError(f"unsupported native format {fmt!r}")
+    return out.view(np.complex64)
+
+
+def crc16_x25(data: bytes) -> int:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    return int(
+        lib.crc16_x25(arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), arr.size)
+    )
+
+
+def hdlc_deframe(
+    bits: np.ndarray, min_len: int = 11, max_len: int = 64, max_frames: int = 64
+):
+    """Native HDLC deframe; returns list of (payload: bytes, start_bit)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    bits = np.ascontiguousarray(np.asarray(bits, dtype=np.uint8))
+    payload_cap = max_frames * (max_len + 2)
+    payload = np.zeros(payload_cap, dtype=np.uint8)
+    lens = np.zeros(max_frames, dtype=np.int32)
+    starts = np.zeros(max_frames, dtype=np.int64)
+    n = lib.hdlc_deframe(
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        bits.size,
+        min_len,
+        max_len,
+        payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        payload_cap,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_frames,
+    )
+    out = []
+    off = 0
+    for i in range(n):
+        out.append((payload[off : off + lens[i]].tobytes(), int(starts[i])))
+        off += lens[i]
+    return out

@@ -1,0 +1,136 @@
+// ais_native — native runtime kernels for the host half of the receiver.
+//
+// The reference implements its byte-rate path in C++ GNU Radio blocks
+// (hdlc_deframer_bp upstream; pdu_to_nmea in lib/pdu_to_nmea_impl.cc).
+// This library provides the same capabilities as a plain C ABI consumed
+// via ctypes (no pybind11 in this environment):
+//
+//   - iq_convert_*: interleaved integer IQ -> complex64 (SDR ingest,
+//     reference python/radio.py:151-215 source formats)
+//   - crc16_x25: HDLC frame check sequence
+//   - hdlc_deframe: flag search + unstuff + CRC over an unpacked bit
+//     buffer, emitting payload spans (the hot part of the host back half
+//     when burst counts are large)
+//
+// Build: cc -O3 -shared -fPIC ais_native.cpp -o libais_native.so
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------- IQ ----
+
+void iq_convert_i16(const int16_t* in, float* out, int64_t n_complex,
+                    float scale) {
+  for (int64_t i = 0; i < 2 * n_complex; ++i) out[i] = in[i] * scale;
+}
+
+void iq_convert_i8(const int8_t* in, float* out, int64_t n_complex,
+                   float scale) {
+  for (int64_t i = 0; i < 2 * n_complex; ++i) out[i] = in[i] * scale;
+}
+
+void iq_convert_u8(const uint8_t* in, float* out, int64_t n_complex,
+                   float offset, float scale) {
+  for (int64_t i = 0; i < 2 * n_complex; ++i)
+    out[i] = (in[i] - offset) * scale;
+}
+
+// --------------------------------------------------------------- CRC ----
+
+static uint16_t crc_table[256];
+static bool crc_ready = false;
+
+static void crc_init() {
+  for (int b = 0; b < 256; ++b) {
+    uint16_t crc = (uint16_t)b;
+    for (int k = 0; k < 8; ++k)
+      crc = (crc & 1) ? (uint16_t)((crc >> 1) ^ 0x8408) : (uint16_t)(crc >> 1);
+    crc_table[b] = crc;
+  }
+  crc_ready = true;
+}
+
+uint16_t crc16_x25(const uint8_t* data, int64_t len) {
+  if (!crc_ready) crc_init();
+  uint16_t crc = 0xFFFF;
+  for (int64_t i = 0; i < len; ++i)
+    crc = (uint16_t)((crc >> 8) ^ crc_table[(crc ^ data[i]) & 0xFF]);
+  return (uint16_t)(crc ^ 0xFFFF);
+}
+
+// -------------------------------------------------------------- HDLC ----
+
+// Deframe unpacked bits (values 0/1).  Frames whose unstuffed content is
+// octet-aligned, within [min_len, max_len] payload octets (FCS excluded)
+// and CRC-valid are written into `payload_out` back to back;
+// `frame_lens[i]` and `frame_starts[i]` (bit index of the opening flag)
+// describe frame i.  Returns the number of frames found (capped at
+// max_frames).  Mirrors ais_tpu.decode.hdlc.deframe.
+int32_t hdlc_deframe(const uint8_t* bits, int64_t n_bits, int32_t min_len,
+                     int32_t max_len, uint8_t* payload_out,
+                     int64_t payload_capacity, int32_t* frame_lens,
+                     int64_t* frame_starts, int32_t max_frames) {
+  if (!crc_ready) crc_init();
+  int32_t n_frames = 0;
+  int64_t payload_used = 0;
+  // State machine: hunt for flag, then collect bits with unstuffing until
+  // the closing flag; every flag both closes one frame and opens the next.
+  uint8_t shift = 0;         // last 8 bits, newest in LSB? keep MSB-first
+  int64_t last_flag = -1;
+  // candidate buffer: max stuffed span we care about
+  const int64_t kMaxSpan = 8LL * (max_len + 2) * 2 + 64;
+  uint8_t frame_bytes[8192];
+  for (int64_t i = 0; i + 8 <= n_bits; ++i) {
+    // flag = 0 1 1 1 1 1 1 0 in transmission order
+    if (!(bits[i] == 0 && bits[i + 1] == 1 && bits[i + 2] == 1 &&
+          bits[i + 3] == 1 && bits[i + 4] == 1 && bits[i + 5] == 1 &&
+          bits[i + 6] == 1 && bits[i + 7] == 0))
+      continue;
+    if (last_flag >= 0 && i - last_flag > 16 && i - last_flag < kMaxSpan) {
+      // candidate body: bits (last_flag+8 .. i)
+      int64_t start = last_flag + 8, end = i;
+      int ones = 0;
+      int64_t nb = 0;
+      bool bad = false;
+      std::memset(frame_bytes, 0, sizeof(frame_bytes));
+      for (int64_t j = start; j < end && !bad; ++j) {
+        if (bits[j]) {
+          ++ones;
+          if (ones > 5) { bad = true; break; }
+          frame_bytes[nb >> 3] |= (uint8_t)(1u << (nb & 7));  // LSB-first
+          ++nb;
+        } else {
+          if (ones == 5) { ones = 0; continue; }  // stuffed zero
+          ones = 0;
+          ++nb;
+        }
+        if ((nb >> 3) >= (int64_t)sizeof(frame_bytes)) bad = true;
+      }
+      if (!bad && nb % 8 == 0) {
+        int64_t nbytes = nb / 8;
+        int64_t payload_len = nbytes - 2;
+        if (payload_len >= min_len && payload_len <= max_len) {
+          uint16_t crc = crc16_x25(frame_bytes, payload_len);
+          uint16_t fcs = (uint16_t)(frame_bytes[payload_len] |
+                                    (frame_bytes[payload_len + 1] << 8));
+          if (crc == fcs && n_frames < max_frames &&
+              payload_used + payload_len <= payload_capacity) {
+            std::memcpy(payload_out + payload_used, frame_bytes,
+                        (size_t)payload_len);
+            frame_lens[n_frames] = (int32_t)payload_len;
+            frame_starts[n_frames] = last_flag;
+            payload_used += payload_len;
+            ++n_frames;
+          }
+        }
+      }
+    }
+    last_flag = i;
+  }
+  (void)shift;
+  return n_frames;
+}
+
+}  // extern "C"

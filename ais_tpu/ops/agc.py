@@ -8,14 +8,16 @@ the burst amplitude before the burst arrives instead of averaging over
 silence.
 
 The reference computes the window max per-sample (O(n*w) C++ loop); here
-it is one `lax.reduce_window` max, which XLA lowers to a logarithmic
-scan on the VPU.
+it is a logarithmic shift-doubling sliding max (ops/window.py) — pure
+elementwise VPU passes.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from ais_tpu.ops.window import sliding_max_forward
 
 
 def feedforward_agc(
@@ -26,18 +28,10 @@ def feedforward_agc(
 ) -> jax.Array:
     """x: (..., n) complex. Returns x * reference / lookahead_env_max.
 
-    At the block tail the lookahead window shrinks (right edge padded
-    with -inf); callers keep bursts out of the last `window` samples via
-    halo framing.
+    At the block tail the lookahead window shrinks; callers keep bursts
+    out of the last `window` samples via halo framing.
     """
     mag = jnp.abs(x)
-    env = jax.lax.reduce_window(
-        mag,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1,) * (x.ndim - 1) + (window,),
-        window_strides=(1,) * x.ndim,
-        padding=[(0, 0)] * (x.ndim - 1) + [(0, window - 1)],
-    )
+    env = sliding_max_forward(mag, window)
     gain = reference / jnp.maximum(env, floor)
     return x * gain.astype(x.real.dtype)

@@ -27,12 +27,201 @@ def fir_filter(x: jax.Array, taps: np.ndarray, decim: int = 1) -> jax.Array:
     """Strided VALID FIR of complex input with real taps.
 
     x: (..., n) complex64;  returns (..., (n - ntaps)//decim + 1).
+
+    Dispatch: decimating filters run as a polyphase matmul on the MXU;
+    non-decimating ones as a whole-block FFT product.  (A plain
+    `conv_general_dilated` with thousands of taps compiles pathologically
+    on the TPU backend — see `_fir_filter_conv`, kept for reference and
+    cross-checked in tests.)
     """
+    if decim > 1:
+        return _fir_polyphase(x, taps, decim)
+    return _fir_fft(x, taps)
+
+
+_MAX_FFT = 1 << 18  # the TPU tunnel backend rejects very large FFTs
+
+
+def _fir_fft(x: jax.Array, taps: np.ndarray) -> jax.Array:
+    """VALID FIR via zero-padded FFT products (overlap-save when long)."""
+    n = x.shape[-1]
+    t = np.asarray(taps, dtype=np.float32)
+    ntaps = t.size
+    nfft = 1 << (n - 1).bit_length()
+    if nfft > _MAX_FFT:
+        return _fir_fft_overlap_save(x, t)
+    # Correlation orientation (y[j] = sum_k taps[k] x[j+k], matching the
+    # polyphase/conv paths): convolve with time-reversed taps and take the
+    # fully-overlapped span.
+    tf = np.fft.fft(t[::-1], nfft).astype(np.complex64)
+    y = jnp.fft.ifft(jnp.fft.fft(x, nfft, axis=-1) * jnp.asarray(tf), axis=-1)
+    from ais_tpu.ops.framing import slice_last
+
+    return slice_last(y, ntaps - 1, n).astype(jnp.complex64)
+
+
+def _fir_fft_overlap_save(x: jax.Array, t: np.ndarray) -> jax.Array:
+    """Overlap-save FFT filtering with bounded per-segment FFTs.
+
+    Splits the output range into cores of `seg` samples; each segment
+    filters its core plus a (ntaps-1)-sample halo with the direct FFT
+    path.  Gather-free framing via ops.framing.frame_overlap.
+    """
+    from ais_tpu.ops.framing import frame_overlap
+
+    ntaps = int(t.size)
+    n = x.shape[-1]
+    n_out = n - ntaps + 1
+    seg = _MAX_FFT // 4
+    if ntaps - 1 > seg:
+        raise ValueError(f"taps {ntaps} too long for segment {seg}")
+    nb = -(-n_out // seg)
+    # Frame (nb + 1) cores so every block's halo reads real samples; the
+    # extra block is dropped after filtering.
+    need = (nb + 1) * seg
+    if need > n:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (need - n,), x.dtype)], axis=-1
+        )
+    blocks = frame_overlap(x[..., :need], seg, ntaps - 1)[..., :nb, :]
+    y = _fir_fft(blocks, t)                  # (..., nb, seg)
+    y = y.reshape(*x.shape[:-1], nb * seg)
+    return y[..., :n_out]
+
+
+def _csum_products(F: jax.Array, hf: jax.Array) -> jax.Array:
+    """sum_p F[..., p, :] * hf[p, :] with float-plane accumulation.
+
+    Complex-valued reductions along a non-minor axis are unimplemented on
+    the tunnel TPU backend; the four real products and sums lower fine.
+    """
+    fr, fi = F.real, F.imag
+    hr, hi = hf.real, hf.imag
+    yr = jnp.sum(fr * hr - fi * hi, axis=-2)
+    yi = jnp.sum(fr * hi + fi * hr, axis=-2)
+    return jax.lax.complex(yr, yi)
+
+
+def polyphase_spectra(taps: np.ndarray, decim: int, n_out_hint: int) -> np.ndarray:
+    """Host-precomputed per-phase reversed-tap spectra for `_fir_polyphase`.
+
+    Returns (decim, nfft) complex64.  Pass as the `hf` argument when the
+    filter runs on the TPU tunnel backend — embedding it as a trace-time
+    constant stalls/kills remote compilation.
+    """
+    t = np.asarray(taps, dtype=np.float32)
+    ntaps = int(t.size)
+    p_rows = -(-ntaps // decim)
+    h = np.zeros((p_rows, decim), dtype=np.float32)
+    h.flat[:ntaps] = t
+    n_rows = n_out_hint + p_rows - 1
+    nfft = 1 << (n_rows + p_rows - 2).bit_length()
+    return np.fft.fft(h[::-1, :].T, nfft, axis=-1).astype(np.complex64)
+
+
+def _fir_polyphase(
+    x: jax.Array, taps: np.ndarray, decim: int, hf: jax.Array | None = None
+) -> jax.Array:
+    """Polyphase decimating FIR in the frequency domain.
+
+    With k = p*D + r:  y[m] = sum_r (x_r star h_r)[m], where
+    x_r[j] = x[j*D + r] (a reshape) and h_r[p] = taps[p*D + r].  All D
+    phase correlations share one FFT length, so the per-phase products
+    are summed *in the frequency domain* and a single IFFT produces the
+    decimated output:  y = IFFT( sum_r FFT(x_r) * FFT(rev h_r) ).
+
+    This formulation uses only batched pow2 FFTs, broadcasts, and
+    reductions — it both compiles fast and runs fast on TPU, where a
+    strided conv or a batched gather/matmul formulation does not.
+    """
+    t = np.asarray(taps, dtype=np.float32)
+    ntaps = int(t.size)
+    n = x.shape[-1]
+    n_out = (n - ntaps) // decim + 1
+    p_rows = -(-ntaps // decim)  # taps per phase (ceil)
+    h = np.zeros((p_rows, decim), dtype=np.float32)
+    h.flat[:ntaps] = t
+    n_rows = n_out + p_rows - 1
+    need = n_rows * decim
+    if need > n:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (need - n,), x.dtype)], axis=-1
+        )
+    X = x[..., :need].reshape(*x.shape[:-1], n_rows, decim)
+    # Transpose the float planes (complex transpose is another
+    # unimplemented lowering on the tunnel backend).
+    Xt = jax.lax.complex(
+        jnp.moveaxis(X.real, -1, -2), jnp.moveaxis(X.imag, -1, -2)
+    )  # (..., D, n_rows)
+    nfft = 1 << (n_rows + p_rows - 2).bit_length()
+    if hf is None:
+        hf = jnp.asarray(
+            np.fft.fft(h[::-1, :].T, nfft, axis=-1).astype(np.complex64)
+        )
+    F = jnp.fft.fft(Xt, nfft, axis=-1)
+    Y = _csum_products(F, hf)
+    y = jnp.fft.ifft(Y, axis=-1)
+    from ais_tpu.ops.framing import slice_last
+
+    return slice_last(y, p_rows - 1, p_rows - 1 + n_out).astype(jnp.complex64)
+
+
+def freq_xlating_polyphase(
+    x: jax.Array,
+    carriers: jax.Array,
+    phase0s: jax.Array,
+    taps: np.ndarray,
+    decim: int,
+    hf: jax.Array,
+) -> jax.Array:
+    """Fused multi-channel mixer + polyphase decimating FIR.
+
+    x: (n,) complex64; carriers: (n_chan, n) mixer carriers; phase0s:
+    (n_chan,) start phases; hf: tap spectra from `polyphase_spectra`.
+    Returns (n_chan, n_out).
+
+    The mix happens *after* reshaping to the (rows, decim) polyphase
+    layout: the tunnel TPU backend rejects elementwise ops on 2-D arrays
+    whose minor dimension is in the millions, and the reshaped layout is
+    what the FFT stage needs anyway.
+    """
+    t = np.asarray(taps, dtype=np.float32)
+    ntaps = int(t.size)
+    n = x.shape[-1]
+    if n % decim != 0:
+        # Padding a multi-million-sample array is itself a rejected op on
+        # this backend; callers align the input length instead.
+        raise ValueError(f"input length {n} must be a multiple of decim {decim}")
+    n_out = n // decim - (-(-ntaps // decim)) + 1
+    p_rows = -(-ntaps // decim)
+    n_rows = n_out + p_rows - 1
+    assert n_rows * decim == n
+
+    X = x.reshape(n_rows, decim)
+    if carriers.ndim == 2:
+        C = carriers.reshape(carriers.shape[0], n_rows, decim)
+    else:
+        C = carriers             # pre-shaped (n_chan, n_rows, decim)
+    rot = jax.lax.complex(jnp.cos(phase0s), jnp.sin(phase0s))
+    mixed = X[None, :, :] * C * rot[:, None, None]
+    Xt = jax.lax.complex(
+        jnp.moveaxis(mixed.real, -1, -2), jnp.moveaxis(mixed.imag, -1, -2)
+    )  # (n_chan, D, n_rows)
+    nfft = hf.shape[-1]
+    F = jnp.fft.fft(Xt, nfft, axis=-1)
+    Y = _csum_products(F, hf)
+    y = jnp.fft.ifft(Y, axis=-1)
+    from ais_tpu.ops.framing import slice_last
+
+    return slice_last(y, p_rows - 1, p_rows - 1 + n_out).astype(jnp.complex64)
+
+
+def _fir_filter_conv(x: jax.Array, taps: np.ndarray, decim: int = 1) -> jax.Array:
+    """Reference implementation via conv_general_dilated (CPU-friendly)."""
     ntaps = int(np.asarray(taps).size)
     taps_f = jnp.asarray(np.asarray(taps, dtype=np.float32)).reshape(1, 1, ntaps)
     batch_shape = x.shape[:-1]
     n = x.shape[-1]
-    # real/imag as independent batch rows through one real conv.
     xr = jnp.stack([x.real, x.imag], axis=-2).reshape(-1, 1, n)
     out = jax.lax.conv_general_dilated(
         xr.astype(jnp.float32),
@@ -74,15 +263,24 @@ def freq_xlating_fir_decimate(
     sample_rate: float,
     decim: int,
     phase0: jax.Array | float = 0.0,
+    carrier: jax.Array | None = None,
 ) -> jax.Array:
     """Mix `x` down by `offset_hz`, low-pass with `taps`, decimate.
 
     x: (..., n) complex64. phase0: scalar or (batch,) carrier start phase
     (from `mixer_phase`).  Output: (..., (n - ntaps)//decim + 1).
+
+    `carrier` may supply the e^{-j w n} array explicitly (e.g. a
+    device-resident buffer passed as a jit argument — embedding it as a
+    multi-MB trace constant stalls the TPU remote-compile path).
     """
     n = x.shape[-1]
-    carrier = jnp.asarray(_mixer_carrier(offset_hz, sample_rate, n))
-    rot = jnp.exp(1j * jnp.asarray(phase0, dtype=jnp.float32)).astype(jnp.complex64)
+    if carrier is None:
+        carrier = jnp.asarray(_mixer_carrier(offset_hz, sample_rate, n))
+    ph = jnp.asarray(phase0, dtype=jnp.float32)
+    # lax.complex(cos, sin) instead of complex exp (unimplemented on the
+    # tunnel TPU backend).
+    rot = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
     if jnp.ndim(rot):
         rot = rot.reshape(rot.shape + (1,) * (x.ndim - rot.ndim))
     mixed = x * carrier * rot

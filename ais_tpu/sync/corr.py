@@ -27,6 +27,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ais_tpu.ops.window import sliding_max_centered
+
 
 def autocorr_threshold(preamble: np.ndarray, threshold: float) -> float:
     """threshold * (sum |p|^2)^2 — reference lib/corr_est_cc_impl.cc:71-74."""
@@ -76,14 +78,7 @@ def detect_bursts(
     # though the periodic training pattern produces sidelobe peaks every
     # 4 symbols (the reference instead re-seeds its timing loop on every
     # sidelobe tag it emits, lib/corr_est_cc_impl.cc:268-270).
-    winmax = jax.lax.reduce_window(
-        mag2,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(2 * nms_radius + 1,),
-        window_strides=(1,),
-        padding=[(nms_radius, nms_radius)],
-    )
+    winmax = sliding_max_centered(mag2, nms_radius)
     idx = jnp.arange(n, dtype=jnp.int32)
     is_peak &= mag2 == winmax
     is_peak &= (idx >= 1) & (idx < core_len) & (idx < n - 1)
