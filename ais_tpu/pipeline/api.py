@@ -108,14 +108,39 @@ class BasebandReceiver:
     def sentences(self, iq: np.ndarray) -> list[str]:
         return [p.nmea for p in self.process(iq)]
 
+    def set_threshold(self, threshold: float) -> None:
+        """Runtime correlator-threshold mutation.
+
+        The reference *intends* this via pubsub but the call chain is
+        broken (python/radio.py:141-143 calls a method ais_rx never
+        defines — a latent bug SURVEY.md flags).  Here it rebuilds the
+        jitted demodulator with the new static threshold.
+        """
+        self.demod_cfg = dataclasses.replace(self.demod_cfg, corr_threshold=threshold)
+        self._demod = jit_burst_demod(self.demod_cfg, self.block_len, self.core_len)
+
+    def get_threshold(self) -> float:
+        return self.demod_cfg.corr_threshold
+
 
 class ChannelReceiver:
-    """Wideband IQ -> one AIS channel via freq-xlating FIR -> decode."""
+    """Wideband IQ -> one AIS channel via freq-xlating FIR -> decode.
+
+    When the decimated rate is not an integer number of samples per
+    symbol (e.g. the reference's 250 ksps / 5 = 50 ksps, sps 5.208), a
+    polyphase arbitrary resampler brings the channel to exactly
+    `target_sps` samples/symbol before demodulation — the topology of the
+    reference's development flowgraph (python/ais.grc:1523), which is
+    strictly better than its installed app path (the app correlates a
+    5.208-sps signal against a 5-sps preamble waveform,
+    python/ais_demod.py:37's integer-sps gmsk_mod).
+    """
 
     def __init__(
         self,
         config: ReceiverConfig = ReceiverConfig(),
         block_len: int = 16384,
+        target_sps: int = 5,
     ):
         self.config = config
         chan = config.channelizer
@@ -123,6 +148,12 @@ class ChannelReceiver:
         self.taps = low_pass(1.0, chan.input_rate, chan.cutoff_hz, chan.transition_hz)
         out_rate = chan.input_rate / self.decim
         sps = out_rate / config.demod.bit_rate
+        if abs(sps - round(sps)) > 1e-6:
+            self.resample_rate = (target_sps * config.demod.bit_rate) / out_rate
+            sps = float(target_sps)
+        else:
+            self.resample_rate = None
+            sps = float(round(sps))
         demod = dataclasses.replace(config.demod, samples_per_symbol=sps)
         self.baseband = BasebandReceiver(
             demod=demod,
@@ -162,6 +193,16 @@ class ChannelReceiver:
         n_base = baseband.shape[-1]
         consumed_raw = n_base * self.decim
         self._tail = arr[consumed_raw:]
+        if self.resample_rate is not None:
+            from ais_tpu.ops.resample import pfb_arb_resample
+
+            baseband = np.asarray(
+                pfb_arb_resample(jnp.asarray(baseband), self.resample_rate)
+            ).astype(np.complex64)
+            # Resampler output lengths vary by a sample between calls;
+            # let the baseband receiver's own monotonic counter track
+            # positions (exact alignment only matters for dedup).
+            return self.baseband.process(baseband)
         return self.baseband.process(baseband, start_sample=start // self.decim)
 
     def sentences(self, iq: np.ndarray) -> list[str]:

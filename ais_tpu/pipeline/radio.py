@@ -54,6 +54,30 @@ class AisRadio:
         packets.sort(key=lambda p: p.abs_sample)
         return packets
 
+    # -- pubsub-style runtime controls (reference: python/radio.py:93-149).
+    # Gain/rate are hardware-source properties; for file/UDP ingest they
+    # are bookkeeping, mirroring the reference's non-live-source behavior
+    # (get_gain returns 0, python/radio.py:145-146).
+
+    def set_threshold(self, threshold: float) -> None:
+        """Working version of the reference's broken set_threshold
+        (python/radio.py:141-143)."""
+        for rx in self.rx_paths:
+            rx.baseband.set_threshold(threshold)
+
+    def get_threshold(self) -> float:
+        return self.rx_paths[0].baseband.get_threshold()
+
+    def set_gain(self, gain: float) -> float:
+        self._gain = gain
+        return self.get_gain()
+
+    def get_gain(self) -> float:
+        return getattr(self, "_gain", 0.0)
+
+    def get_rate(self) -> float:
+        return self.sample_rate
+
     def run(
         self,
         source: SampleSource,

@@ -103,10 +103,15 @@ def msk_timing_recovery(
         zero_c,
     )
     _, (ys, valids, errs, mus) = jax.lax.scan(step, init, None, length=2 * n_symbols)
-    # Outputs land on even iterations (div starts at 0).
+    # Outputs land on even iterations (div starts at 0).  Deinterleave via
+    # reshape + leading index (strided complex slices don't lower on the
+    # tunnel TPU backend).
+    def every_other(a):
+        return a.reshape(n_symbols, 2, *a.shape[1:])[:, 0]
+
     return TimingResult(
-        symbols=ys[0::2],
-        valid=valids[0::2],
-        err=errs[0::2].astype(jnp.float32),
-        mu=mus[0::2].astype(jnp.float32),
+        symbols=every_other(ys),
+        valid=every_other(valids),
+        err=every_other(errs).astype(jnp.float32),
+        mu=every_other(mus).astype(jnp.float32),
     )

@@ -122,3 +122,32 @@ class TestChannelized:
         assert a.channelizer.offset_hz == -25e3
         assert b.channelizer.offset_hz == 25e3
         assert a.designator == "A" and b.designator == "B"
+
+
+class TestReferenceDefaultRate:
+    def test_250ksps_via_resampler(self):
+        # The reference's installed default: 250 ksps input (-r default,
+        # python/radio.py:120-121).  Decimation by 5 leaves a fractional
+        # 5.208 sps; the receiver resamples to exactly 5 sps (the
+        # reference's own GRC-variant topology, python/ais.grc:1523).
+        import jax.numpy as jnp
+
+        from ais_tpu.ops.resample import pfb_arb_resample
+
+        raw = aivdm_payload_to_bytes(PAYLOAD)
+        burst48 = make_packet_iq(raw, samples_per_symbol=5)
+        sig48 = np.zeros(40000, dtype=np.complex64)
+        sig48[7000 : 7000 + burst48.size] = burst48
+        sig250 = np.asarray(pfb_arb_resample(jnp.asarray(sig48), 250.0 / 48.0))
+        rng = np.random.default_rng(0)
+        n = sig250.size
+        t = np.arange(n) / 250e3
+        iq = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64) * 0.01
+        iq += (sig250 * np.exp(-2j * np.pi * 25e3 * t)).astype(np.complex64)
+        rx = ChannelReceiver(
+            ReceiverConfig(
+                channelizer=ChannelizerConfig(input_rate=250e3, offset_hz=-25e3)
+            )
+        )
+        assert rx.resample_rate == pytest.approx(0.96)
+        assert rx.sentences(iq) == [SENTENCE]

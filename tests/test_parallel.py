@@ -94,3 +94,26 @@ class TestStreamSharded:
             counts.append(len(found))
             assert all(p.nmea == SENTENCE for p in found)
         assert counts == [1, 2]
+
+
+class TestDistributedDecoder:
+    def test_decode_stream_over_mesh(self, eight_devices):
+        from ais_tpu.parallel.distributed import DistributedBlockDecoder
+
+        offsets = [5000, 40000, 77000]
+        iq = _stream_with_packets(offsets, CORE * 8, seed=4)
+        dec = DistributedBlockDecoder()
+        packets = dec.decode_stream(iq)
+        found = sorted(p.abs_sample for p in packets)
+        assert len(found) == len(offsets)
+        for off, got in zip(offsets, found):
+            assert abs(got - (off + 50)) < 120  # peak lands on a training lobe
+        assert all(p.nmea == SENTENCE for p in packets)
+
+    def test_uneven_blocks_padded(self, eight_devices):
+        from ais_tpu.parallel.distributed import DistributedBlockDecoder
+
+        iq = _stream_with_packets([9000], CORE * 3, seed=5)  # 3 blocks, 8 devs
+        dec = DistributedBlockDecoder()
+        packets = dec.decode_stream(iq)
+        assert [p.nmea for p in packets] == [SENTENCE]

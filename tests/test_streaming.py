@@ -158,3 +158,36 @@ class TestCli:
             },
         )
         assert SENTENCE in out.stdout, (out.stdout, out.stderr[-2000:])
+
+
+class TestRuntimeControls:
+    def test_set_threshold_rebuilds(self, packet):
+        rx = BasebandReceiver()
+        iq = _noise(48000)
+        iq[8000 : 8000 + packet.size] += 0.5 * packet
+        assert rx.sentences(iq.copy()) == [SENTENCE]
+        # Crank the threshold beyond any peak: detection must stop.
+        rx.set_threshold(1e6)
+        assert rx.get_threshold() == 1e6
+        rx2_out = rx.sentences(iq.copy())
+        assert rx2_out == []
+
+    def test_radio_pubsub_surface(self):
+        radio = AisRadio(sample_rate=240e3)
+        assert radio.get_rate() == 240e3
+        assert radio.get_gain() == 0.0
+        radio.set_gain(20)
+        assert radio.get_gain() == 20
+        radio.set_threshold(0.5)
+        assert radio.get_threshold() == 0.5
+
+    def test_stage_timer(self):
+        from ais_tpu.utils.profiling import StageTimer
+
+        t = StageTimer()
+        with t.stage("a"):
+            pass
+        with t.stage("a"):
+            pass
+        assert t.counts["a"] == 2
+        assert "a:" in t.report()
