@@ -80,6 +80,15 @@ class DemodConfig:
     #     per-burst lax.scan; much slower to compile/run on TPU.
     timing_mode: str = "feedforward"
     ff_seg_len: int = 256          # feedforward tone-phase segment length
+    # Bit decision path:
+    #   "discriminator" — quadrature demod + slicer, the reference chain
+    #     (python/ais_demod.py:48-52).
+    #   "mlse" — coherent Viterbi over the GMSK trellis (sync/mlse.py):
+    #     ~5-6 dB more sensitive; the coherent demod the reference
+    #     attempted and abandoned (python/ais_demod.py:8-11).  Pair with a
+    #     lower corr_threshold (~0.4) to let weak bursts reach the
+    #     decoder.
+    demod_mode: str = "discriminator"
     # Burst extraction: window of raw samples handed to per-burst timing
     # recovery.  Must cover preamble + flags + max stuffed frame + slack.
     # Max HDLC frame here is 64 bytes payload (python/radio.py:64), i.e.

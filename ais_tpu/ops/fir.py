@@ -89,6 +89,24 @@ def _fir_fft_overlap_save(x: jax.Array, t: np.ndarray) -> jax.Array:
     return y[..., :n_out]
 
 
+def _ifft_batch_safe(Y: jax.Array) -> jax.Array:
+    """IFFT along the last axis, padding tiny leading batches to 8 rows.
+
+    The tunnel TPU backend rejects (i)FFTs whose flattened batch is very
+    small while the transform length is large; zero rows are cheap.
+    """
+    lead = Y.shape[:-1]
+    n = Y.shape[-1]
+    flat = Y.reshape(-1, n)
+    b = flat.shape[0]
+    if b >= 8:
+        return jnp.fft.ifft(Y, axis=-1)
+    padded = jnp.concatenate(
+        [flat, jnp.zeros((8 - b, n), flat.dtype)], axis=0
+    )
+    return jnp.fft.ifft(padded, axis=-1)[:b].reshape(*lead, n)
+
+
 def _csum_products(F: jax.Array, hf: jax.Array) -> jax.Array:
     """sum_p F[..., p, :] * hf[p, :] with float-plane accumulation.
 
@@ -148,19 +166,22 @@ def _fir_polyphase(
             [x, jnp.zeros(x.shape[:-1] + (need - n,), x.dtype)], axis=-1
         )
     X = x[..., :need].reshape(*x.shape[:-1], n_rows, decim)
-    # Transpose the float planes (complex transpose is another
-    # unimplemented lowering on the tunnel backend).
-    Xt = jax.lax.complex(
-        jnp.moveaxis(X.real, -1, -2), jnp.moveaxis(X.imag, -1, -2)
-    )  # (..., D, n_rows)
     nfft = 1 << (n_rows + p_rows - 2).bit_length()
     if hf is None:
         hf = jnp.asarray(
             np.fft.fft(h[::-1, :].T, nfft, axis=-1).astype(np.complex64)
         )
-    F = jnp.fft.fft(Xt, nfft, axis=-1)
+
+    # Zero-pad rows to nfft and transpose on the float planes (the tunnel
+    # backend rejects fft-with-implicit-pad and complex transposes).
+    def pad_t(plane):
+        z = jnp.zeros(plane.shape[:-2] + (nfft - n_rows, decim), plane.dtype)
+        return jnp.moveaxis(jnp.concatenate([plane, z], axis=-2), -1, -2)
+
+    Xt = jax.lax.complex(pad_t(X.real), pad_t(X.imag))  # (..., D, nfft)
+    F = jnp.fft.fft(Xt, axis=-1)
     Y = _csum_products(F, hf)
-    y = jnp.fft.ifft(Y, axis=-1)
+    y = _ifft_batch_safe(Y)
     from ais_tpu.ops.framing import slice_last
 
     return slice_last(y, p_rows - 1, p_rows - 1 + n_out).astype(jnp.complex64)
@@ -198,19 +219,23 @@ def freq_xlating_polyphase(
     assert n_rows * decim == n
 
     X = x.reshape(n_rows, decim)
-    if carriers.ndim == 2:
-        C = carriers.reshape(carriers.shape[0], n_rows, decim)
-    else:
-        C = carriers             # pre-shaped (n_chan, n_rows, decim)
+    n_chan = phase0s.shape[0]
+    # Carriers arrive flat (n_chan*n,) or (n_chan, n); reshape on device
+    # (>2-D complex host->device transfers are rejected by the backend).
+    C = carriers.reshape(n_chan, n_rows, decim)
+    nfft = hf.shape[-1]
     rot = jax.lax.complex(jnp.cos(phase0s), jnp.sin(phase0s))
     mixed = X[None, :, :] * C * rot[:, None, None]
-    Xt = jax.lax.complex(
-        jnp.moveaxis(mixed.real, -1, -2), jnp.moveaxis(mixed.imag, -1, -2)
-    )  # (n_chan, D, n_rows)
-    nfft = hf.shape[-1]
-    F = jnp.fft.fft(Xt, nfft, axis=-1)
+    # Zero-pad rows to nfft and transpose on the float planes (the
+    # backend rejects fft-with-implicit-pad and complex transposes).
+    def pad_t(plane):
+        z = jnp.zeros((n_chan, nfft - n_rows, decim), plane.dtype)
+        return jnp.moveaxis(jnp.concatenate([plane, z], axis=-2), -1, -2)
+
+    Xt = jax.lax.complex(pad_t(mixed.real), pad_t(mixed.imag))  # (n_chan, D, nfft)
+    F = jnp.fft.fft(Xt, axis=-1)
     Y = _csum_products(F, hf)
-    y = jnp.fft.ifft(Y, axis=-1)
+    y = _ifft_batch_safe(Y)
     from ais_tpu.ops.framing import slice_last
 
     return slice_last(y, p_rows - 1, p_rows - 1 + n_out).astype(jnp.complex64)

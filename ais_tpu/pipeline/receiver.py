@@ -68,6 +68,8 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
         )
     if cfg.timing_mode not in ("feedforward", "pll"):
         raise ValueError(f"unknown timing_mode {cfg.timing_mode!r}")
+    if cfg.demod_mode not in ("discriminator", "mlse"):
+        raise ValueError(f"unknown demod_mode {cfg.demod_mode!r}")
     sps_int = int(round(cfg.samples_per_symbol))
     wf = preamble_waveform(sps_int, cfg.gmsk_bt)
     thresh = autocorr_threshold(wf, cfg.corr_threshold)
@@ -103,6 +105,30 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
         bursts = bursts * jax.lax.complex(
             jnp.cos(carrier_phase), jnp.sin(carrier_phase)
         )
+        if cfg.demod_mode == "mlse":
+            # Coherent Viterbi path: per-burst fine carrier refinement,
+            # tone-phase timing, interval framing, trellis decode.
+            from ais_tpu.sync.feedforward import estimate_timing, refine_freq
+            from ais_tpu.sync.mlse import burst_frames, gmsk_trellis, mlse_levels
+
+            trellis = gmsk_trellis(sps_int, cfg.gmsk_bt)
+            karr = jnp.arange(cfg.burst_len, dtype=jnp.float32)
+
+            def decode_one(b):
+                w0 = refine_freq(b, cfg.samples_per_symbol, cfg.ff_seg_len)
+                ph = -w0 * karr
+                b2 = b * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+                base, intercept, _ = estimate_timing(
+                    b2, cfg.samples_per_symbol, bt=cfg.gmsk_bt, seg_len=cfg.ff_seg_len
+                )
+                fr, v = burst_frames(b2, base + intercept, sps_int, n_sym, cfg.gmsk_bt)
+                return mlse_levels(fr, trellis), v
+
+            levels, sym_valid = jax.vmap(decode_one)(bursts)
+            bits = slice_diff_invert(levels)
+            return BurstRecords(
+                pos, centers, phases, mags, valid, bits, sym_valid, est
+            )
         if cfg.timing_mode == "feedforward":
             symbols, sym_valid = jax.vmap(
                 lambda b: feedforward_symbols(

@@ -162,17 +162,12 @@ class WidebandReceiver:
 
         _taps = _low_pass(1.0, cfg.input_rate, cfg.cutoff_hz, cfg.transition_hz)
         _n_out = (n_in - _taps.size) // cfg.decimation + 1
-        _n_rows = n_in // cfg.decimation
-        # Pre-shaped to the polyphase row layout so no device op ever sees
-        # a multi-million minor dimension.
+        # Shipped flat: host->device transfers of >2-D complex arrays are
+        # rejected by the tunnel backend; the kernel reshapes on device
+        # into the polyphase row layout.
         self._carriers = _jax.device_put(
-            np.stack(
-                [
-                    _mixer_carrier(off, cfg.input_rate, n_in).reshape(
-                        _n_rows, cfg.decimation
-                    )
-                    for off in cfg.offsets_hz
-                ]
+            np.concatenate(
+                [_mixer_carrier(off, cfg.input_rate, n_in) for off in cfg.offsets_hz]
             )
         )
         self._hf = _jax.device_put(

@@ -75,18 +75,51 @@ def _calibrate(sps_int: int, bt: float) -> float:
     return float(np.mod(best_q + psi * sps_int / (2 * np.pi), sps_int))
 
 
-def feedforward_symbols(
+def refine_freq(
     burst: jax.Array,
     sps: float,
-    n_symbols: int,
+    seg_len: int = 256,
+    min_weight_frac: float = 0.25,
+) -> jax.Array:
+    """Fine residual-carrier estimate (Hz * 2pi/fs, i.e. rad/sample).
+
+    The +Rs/2 tone of x^2 sits at theta + 2*w0 (theta = pi/sps known);
+    its phase advances (theta + 2*w0)*seg_len per segment, so the wrapped
+    segment-to-segment phase slope of C+ yields w0 with ~Hz accuracy —
+    enough to make a packet-length coherent demod possible (the AFC's
+    binsize/2 quantization alone leaves ~10 rad of drift over a packet).
+    Unambiguous for |w0| < pi/(2*seg_len) (~±46 Hz at 48 ksps, seg 256).
+    """
+    length = burst.shape[-1]
+    n_segs = length // seg_len
+    theta = np.pi / sps
+    n = np.arange(length)
+    tone_p = jnp.asarray(np.exp(-1j * theta * n).astype(np.complex64))
+    z = burst * burst
+    zp = (z * tone_p)[: n_segs * seg_len].reshape(n_segs, seg_len)
+    cp = jnp.sum(zp, axis=-1)
+    w = jnp.abs(cp)
+    prod = cp[1:] * jnp.conj(cp[:-1])
+    ww = jnp.sqrt(w[1:] * w[:-1])
+    ww = jnp.where(ww >= min_weight_frac * jnp.max(ww), ww, 0.0)
+    # arg(prod) = 2*w0*seg_len (theta*seg_len contribution is exact and
+    # cancels in the conjugate product since the tone reference removes
+    # theta already).
+    slope = jnp.angle(jnp.sum(prod * (ww / jnp.maximum(jnp.sum(ww), 1e-12))))
+    return (slope / (2.0 * seg_len)).astype(jnp.float32)
+
+
+def estimate_timing(
+    burst: jax.Array,
+    sps: float,
     bt: float = 0.4,
     seg_len: int = 256,
     min_weight_frac: float = 0.25,
 ):
-    """Recover `n_symbols` symbol-rate samples from one burst window.
+    """Tone-phase timing estimate: (base, intercept, slope).
 
-    Returns (symbols complex64 (n_symbols,), valid bool (n_symbols,)).
-    Drop-in replacement for the PLL's outputs (same downstream demod).
+    Symbol centers sit at p_k = base + k*sps + intercept + slope*(...)
+    (see feedforward_symbols for the exact grid construction).
     """
     length = burst.shape[-1]
     n_segs = length // seg_len
@@ -108,37 +141,53 @@ def feedforward_symbols(
     w = jnp.sqrt(jnp.abs(prod))
     w = jnp.where(w >= min_weight_frac * jnp.max(w), w, 0.0)
 
-    # Fractional center per segment: tau_s = delta - psi*sps/(2*pi), defined
-    # mod sps.  Forward-fill low-confidence segments, then unwrap
-    # *sequentially* (wrapped consecutive diffs, cumulative sum) so clock
-    # drift larger than half a symbol across the burst stays monotone.
     tau = delta - psi * (sps / (2.0 * np.pi))
     conf = w > 0
+
     def _ffill(carry, xs):
         t, ok = xs
         new = jnp.where(ok, t, carry)
         return new, new
+
     tau_f = jax.lax.scan(_ffill, tau[0], (tau, conf))[1]
     first_idx = jnp.argmax(conf)
     tau0 = tau_f[first_idx]
     d = tau_f[1:] - tau_f[:-1]
-    d = d - sps * jnp.round(d / sps)  # each diff wrapped to (-sps/2, sps/2]
+    d = d - sps * jnp.round(d / sps)
     un = jnp.concatenate([jnp.zeros(1, tau.dtype), jnp.cumsum(d)])
     dtau = un - un[first_idx]
-    # Weighted linear fit of dtau against segment centers -> clock drift.
     centers = (jnp.arange(n_segs) + 0.5) * seg_len
     wsum = jnp.sum(w) + 1e-12
     cbar = jnp.sum(w * centers) / wsum
     tbar = jnp.sum(w * dtau) / wsum
     cov = jnp.sum(w * (centers - cbar) * (dtau - tbar))
     var = jnp.sum(w * (centers - cbar) ** 2) + 1e-12
-    slope = cov / var           # samples of timing drift per sample
+    slope = cov / var
     intercept = tbar - slope * cbar
-
-    # Symbol-center positions: nominal grid anchored at tau0, corrected by
-    # the drift line, starting at the first center >= DELAY + 1.
-    k = jnp.arange(n_symbols, dtype=jnp.float32)
     base = tau0 + jnp.ceil((DELAY + 1.0 - tau0) / sps) * sps
+    return base, intercept, slope
+
+
+def feedforward_symbols(
+    burst: jax.Array,
+    sps: float,
+    n_symbols: int,
+    bt: float = 0.4,
+    seg_len: int = 256,
+    min_weight_frac: float = 0.25,
+):
+    """Recover `n_symbols` symbol-rate samples from one burst window.
+
+    Returns (symbols complex64 (n_symbols,), valid bool (n_symbols,)).
+    Drop-in replacement for the PLL's outputs (same downstream demod).
+    """
+    length = burst.shape[-1]
+    base, intercept, slope = estimate_timing(
+        burst, sps, bt=bt, seg_len=seg_len, min_weight_frac=min_weight_frac
+    )
+    # Symbol-center positions: nominal grid anchored at base, corrected by
+    # the drift line.
+    k = jnp.arange(n_symbols, dtype=jnp.float32)
     pos = base + k * sps
     pos = pos + intercept + slope * pos
     i0 = jnp.floor(pos).astype(jnp.int32)

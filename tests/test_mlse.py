@@ -1,0 +1,123 @@
+"""Coherent MLSE demodulation: unit + pipeline + sensitivity tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ais_tpu.core.params import DemodConfig
+from ais_tpu.decode import deframe
+from ais_tpu.ops.agc import feedforward_agc
+from ais_tpu.ops.demod import quadrature_demod, slice_diff_invert
+from ais_tpu.pipeline import BasebandReceiver
+from ais_tpu.sync.feedforward import estimate_timing, feedforward_symbols, refine_freq
+from ais_tpu.sync.mlse import burst_frames, gmsk_trellis, mlse_levels
+from ais_tpu.tx import aivdm_payload_to_bytes, make_packet_iq
+
+PAYLOAD = "14eG;o@034o8sd<L9i:a;WF>062D"
+SENTENCE = "!AIVDM,1,1,,A,14eG;o@034o8sd<L9i:a;WF>062D,0*7D"
+RAW = aivdm_payload_to_bytes(PAYLOAD)
+IQ = make_packet_iq(RAW, 5)
+
+
+class TestTrellis:
+    def test_structure(self):
+        tr = gmsk_trellis(5)
+        assert tr.n_states == 64
+        assert tr.preds.shape == (64, 2, 2)
+        assert tr.refs_r.shape == (128, 5)
+        assert tr.train_paths.shape == (4, 24)
+
+
+class TestRefineFreq:
+    @pytest.mark.parametrize("f_hz", [0.0, -17.0, 23.0])
+    def test_accuracy(self, f_hz):
+        rng = np.random.default_rng(0)
+        burst = (rng.normal(size=4096) + 1j * rng.normal(size=4096)).astype(
+            np.complex64
+        ) * 0.03
+        rot = np.exp(2j * np.pi * f_hz * np.arange(IQ.size) / 48000.0)
+        burst[1 : 1 + IQ.size] += (IQ * rot).astype(np.complex64)
+        w0 = float(refine_freq(jnp.asarray(burst), 5.0))
+        est = w0 * 48000.0 / (2 * np.pi)
+        assert abs(est - f_hz) < 2.0
+
+
+def _decode_mlse(burst):
+    b = jnp.asarray(burst)
+    b = feedforward_agc(b, 512, 2.0)
+    w0 = refine_freq(b, 5.0)
+    n = jnp.arange(burst.size, dtype=jnp.float32)
+    ph = -w0 * n
+    b2 = b * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    base, intercept, _ = estimate_timing(b2, 5.0)
+    fr, v = burst_frames(b2, base + intercept, 5, 300)
+    lv = mlse_levels(fr, gmsk_trellis(5))
+    bits = np.asarray(slice_diff_invert(lv))
+    frames = deframe(bits)
+    return len(frames) == 1 and frames[0].payload == RAW
+
+
+def _decode_disc(burst):
+    b = feedforward_agc(jnp.asarray(burst), 512, 2.0)
+    sym, valid = feedforward_symbols(b, 5.0, 300)
+    bits = np.asarray(slice_diff_invert(quadrature_demod(sym)))
+    return any(f.payload == RAW for f in deframe(bits))
+
+
+def _noisy_burst(sigma, seed, phase=None):
+    rng = np.random.default_rng(seed)
+    burst = (rng.normal(size=4096) + 1j * rng.normal(size=4096)).astype(
+        np.complex64
+    ) * sigma
+    ph = rng.uniform(0, 2 * np.pi) if phase is None else phase
+    burst[1 : 1 + IQ.size] += (IQ * np.exp(1j * ph)).astype(np.complex64)
+    return burst
+
+
+class TestSensitivity:
+    def test_beats_discriminator_at_6dB(self):
+        # sigma 0.35 ~ 6 dB SNR: discriminator loses every packet, MLSE
+        # decodes (the reference's unfinished goal, python/ais_demod.py:8-11).
+        mlse_ok = sum(_decode_mlse(_noisy_burst(0.35, s)) for s in range(8))
+        disc_ok = sum(_decode_disc(_noisy_burst(0.35, s)) for s in range(8))
+        assert mlse_ok >= 7
+        assert disc_ok <= 2
+
+    def test_random_carrier_phase(self):
+        for s in range(4):
+            assert _decode_mlse(_noisy_burst(0.1, 100 + s))
+
+    def test_residual_frequency(self):
+        rng = np.random.default_rng(7)
+        burst = (rng.normal(size=4096) + 1j * rng.normal(size=4096)).astype(
+            np.complex64
+        ) * 0.1
+        rot = np.exp(2j * np.pi * 20.0 * np.arange(IQ.size) / 48000.0)
+        burst[1 : 1 + IQ.size] += (IQ * rot).astype(np.complex64)
+        assert _decode_mlse(burst)
+
+
+class TestPipelineMode:
+    def test_mlse_pipeline_decodes_weak_packet(self):
+        rng = np.random.default_rng(3)
+        iq = (rng.normal(size=48000) + 1j * rng.normal(size=48000)).astype(
+            np.complex64
+        ) * 0.35
+        iq[9000 : 9000 + IQ.size] += IQ.astype(np.complex64)
+        rx_mlse = BasebandReceiver(
+            demod=DemodConfig(demod_mode="mlse", corr_threshold=0.4)
+        )
+        assert rx_mlse.sentences(iq.copy()) == [SENTENCE]
+        rx_disc = BasebandReceiver(demod=DemodConfig(corr_threshold=0.4))
+        assert rx_disc.sentences(iq.copy()) == []
+
+    def test_mlse_pipeline_normal_snr(self):
+        rng = np.random.default_rng(4)
+        iq = (rng.normal(size=48000) + 1j * rng.normal(size=48000)).astype(
+            np.complex64
+        ) * 0.02
+        iq[12000 : 12000 + IQ.size] += IQ.astype(np.complex64)
+        rx = BasebandReceiver(demod=DemodConfig(demod_mode="mlse"))
+        assert rx.sentences(iq) == [SENTENCE]
