@@ -34,7 +34,7 @@ def make_sharded_demod(
     """(n_blocks, block_len) -> BurstRecords with leading block axis,
     block axis sharded over `time_axis`.  n_blocks must be a multiple of
     the mesh axis size."""
-    demod = jax.vmap(make_burst_demod(cfg, block_len, core_len))
+    demod = make_burst_demod(cfg, block_len, core_len)  # batch-native
     fn = shard_map(
         demod,
         mesh=mesh,
@@ -54,7 +54,7 @@ def make_sharded_stream_demod(
 ):
     """(n_streams, n_blocks, block_len) -> BurstRecords, streams sharded
     over `stream_axis` and blocks over `time_axis`."""
-    demod = jax.vmap(jax.vmap(make_burst_demod(cfg, block_len, core_len)))
+    demod = jax.vmap(make_burst_demod(cfg, block_len, core_len))  # vmap streams; batch-native over blocks
     fn = shard_map(
         demod,
         mesh=mesh,

@@ -58,7 +58,16 @@ def required_halo(cfg: DemodConfig) -> int:
 
 
 def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
-    """Build the jittable (block_len,) -> BurstRecords demodulator."""
+    """Build the jittable block demodulator.
+
+    The returned function is *batch-native*: it accepts `(block_len,)` or
+    `(n_blocks, block_len)` input and returns BurstRecords with matching
+    leading axes.  Internally the sample-rate stages run as batched
+    tensor ops and the per-burst stages as ONE flat vmap over all
+    (block, burst) lanes — never nested vmaps, whose gather lowerings the
+    TPU tunnel backend rejects (ARCHITECTURE.md §4) and which also
+    vectorize worse.
+    """
     if block_len % cfg.fftlen != 0:
         raise ValueError(f"block_len {block_len} not a multiple of fftlen {cfg.fftlen}")
     if core_len > block_len - required_halo(cfg):
@@ -77,6 +86,11 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
     fs = cfg.sample_rate
 
     def demod(x: jax.Array) -> BurstRecords:
+        single = x.ndim == 1
+        xb = x[None] if single else x  # (B, block_len)
+        B = xb.shape[0]
+        K = cfg.max_bursts_per_block
+
         # AGC first (commutes with the AFC's pure rotation); detection runs
         # on the per-chunk derotated stream like the reference chain, but
         # each *burst* is decoded with one constant frequency correction —
@@ -84,27 +98,49 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
         # packet straddling a chunk boundary never sees a mid-packet
         # carrier discontinuity (the reference does: python/gmsk_sync.py:26
         # re-rasterizes a new estimate every fftlen samples regardless).
-        a = feedforward_agc(x, cfg.agc_window, cfg.agc_reference)
+        a = feedforward_agc(xb, cfg.agc_window, cfg.agc_reference)
         y_det, est = square_and_fft_sync(
             a, fs, cfg.bit_rate, cfg.fftlen, gate_ratio=cfg.afc_gate_ratio
         )
         corr = matched_filter(y_det, wf)
-        pos, centers, phases, mags, valid = detect_bursts(
-            corr, thresh, cfg.nms_radius, cfg.max_bursts_per_block, core_len
-        )
+        pos, centers, phases, mags, valid = jax.vmap(
+            lambda c: detect_bursts(
+                c, thresh, cfg.nms_radius, cfg.max_bursts_per_block, core_len
+            )
+        )(corr)  # each (B, K)
+
         # Seed timing recovery at peak + mark_delay, with one guard sample
         # for the mu<0 adjustment (reference lib/corr_est_cc_impl.cc:248-253
-        # -> lib/msk_timing_recovery_cc_impl.cc:148-153).
+        # -> lib/msk_timing_recovery_cc_impl.cc:148-153).  Burst extraction
+        # runs over the flattened (B*K,) lanes against the flattened sample
+        # stream so the gather stays one vmap level deep.
         starts = jnp.clip(pos + cfg.corr_mark_delay - 1, 0, block_len - cfg.burst_len)
-        bursts = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(a, (s,), (cfg.burst_len,))
-        )(starts)
-        burst_freq = est[jnp.clip(pos // cfg.fftlen, 0, est.shape[-1] - 1)]
+        a_flat = a.reshape(B * block_len)
+        block_base = (jnp.arange(B, dtype=jnp.int32) * block_len)[:, None]
+        flat_starts = (starts + block_base).reshape(B * K)
+        # Slice the float planes separately: long vmapped dynamic_slices of
+        # complex arrays are unimplemented on the tunnel TPU backend.
+        ar, ai = a_flat.real, a_flat.imag
+
+        def cut(plane):
+            return jax.vmap(
+                lambda s: jax.lax.dynamic_slice(plane, (s,), (cfg.burst_len,))
+            )(flat_starts)
+
+        bursts = jax.lax.complex(cut(ar), cut(ai))  # (B*K, burst_len)
+
+        # Per-burst chunk estimate via a one-hot contraction (gather-free).
+        chunk_idx = jnp.clip(pos // cfg.fftlen, 0, est.shape[-1] - 1)  # (B, K)
+        onehot = (
+            chunk_idx[..., None] == jnp.arange(est.shape[-1], dtype=jnp.int32)
+        ).astype(jnp.float32)
+        burst_freq = jnp.einsum("bkc,bc->bk", onehot, est).reshape(B * K)
         k = jnp.arange(cfg.burst_len, dtype=jnp.float32)
         carrier_phase = (-2.0 * jnp.pi / fs) * burst_freq[:, None] * k[None, :]
         bursts = bursts * jax.lax.complex(
             jnp.cos(carrier_phase), jnp.sin(carrier_phase)
         )
+
         if cfg.demod_mode == "mlse":
             # Coherent Viterbi path: per-burst fine carrier refinement,
             # tone-phase timing, interval framing, trellis decode.
@@ -126,36 +162,38 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
 
             levels, sym_valid = jax.vmap(decode_one)(bursts)
             bits = slice_diff_invert(levels)
-            return BurstRecords(
-                pos, centers, phases, mags, valid, bits, sym_valid, est
-            )
-        if cfg.timing_mode == "feedforward":
-            symbols, sym_valid = jax.vmap(
-                lambda b: feedforward_symbols(
-                    b,
-                    cfg.samples_per_symbol,
-                    n_sym,
-                    bt=cfg.gmsk_bt,
-                    seg_len=cfg.ff_seg_len,
-                )
-            )(bursts)
-        elif cfg.timing_mode == "pll":
-            tr = jax.vmap(
-                lambda b, m: msk_timing_recovery(
-                    b,
-                    m,
-                    cfg.samples_per_symbol,
-                    cfg.clockrec_gain,
-                    cfg.omega_relative_limit,
-                    n_sym,
-                )
-            )(bursts, centers)
-            symbols, sym_valid = tr.symbols, tr.valid
         else:
-            raise ValueError(f"unknown timing_mode {cfg.timing_mode!r}")
-        soft = quadrature_demod(symbols)
-        bits = slice_diff_invert(soft)
-        return BurstRecords(pos, centers, phases, mags, valid, bits, sym_valid, est)
+            if cfg.timing_mode == "feedforward":
+                symbols, sym_valid = jax.vmap(
+                    lambda b: feedforward_symbols(
+                        b,
+                        cfg.samples_per_symbol,
+                        n_sym,
+                        bt=cfg.gmsk_bt,
+                        seg_len=cfg.ff_seg_len,
+                    )
+                )(bursts)
+            else:  # pll
+                tr = jax.vmap(
+                    lambda b, m: msk_timing_recovery(
+                        b,
+                        m,
+                        cfg.samples_per_symbol,
+                        cfg.clockrec_gain,
+                        cfg.omega_relative_limit,
+                        n_sym,
+                    )
+                )(bursts, centers.reshape(B * K))
+                symbols, sym_valid = tr.symbols, tr.valid
+            soft = quadrature_demod(symbols)
+            bits = slice_diff_invert(soft)
+
+        bits = bits.reshape(B, K, n_sym)
+        sym_valid = sym_valid.reshape(B, K, n_sym)
+        rec = BurstRecords(pos, centers, phases, mags, valid, bits, sym_valid, est)
+        if single:
+            rec = jax.tree.map(lambda t: t[0], rec)
+        return rec
 
     return demod
 

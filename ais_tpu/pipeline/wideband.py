@@ -99,7 +99,7 @@ def make_wideband_fns(cfg: WidebandConfig, n_in: int):
         # per-burst gathers past what the TPU backend implements, and a
         # single flat batch is also the better layout.
         flat = blocks.reshape(n_chan * n_blocks, cfg.block_len)
-        rec = jax.vmap(block_demod)(flat)
+        rec = block_demod(flat)  # batch-native
         return jax.tree.map(
             lambda a: a.reshape(n_chan, n_blocks, *a.shape[1:]), rec
         )

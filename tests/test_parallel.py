@@ -59,7 +59,7 @@ class TestTimeSharded:
         xs = jax.device_put(blocks, NamedSharding(mesh, P("time")))
         rec_sharded = jax.tree.map(np.asarray, sharded(xs))
 
-        single = jax.jit(jax.vmap(make_burst_demod(CFG, BLOCK, CORE)))
+        single = jax.jit(make_burst_demod(CFG, BLOCK, CORE))
         rec_single = jax.tree.map(np.asarray, single(jnp.asarray(blocks)))
 
         np.testing.assert_array_equal(rec_sharded.valid, rec_single.valid)
