@@ -137,7 +137,52 @@ def polyphase_spectra(taps: np.ndarray, decim: int, n_out_hint: int) -> np.ndarr
     return np.fft.fft(h[::-1, :].T, nfft, axis=-1).astype(np.complex64)
 
 
+def _fir_polyphase_einsum(x: jax.Array, taps: np.ndarray, decim: int) -> jax.Array:
+    """Polyphase decimating FIR as one (rows, D) @ (D, P) contraction plus
+    a P-term diagonal reduction — the fastest CPU formulation.
+
+    With k = p*D + r:  y[m] = sum_p Z[m+p, p],  Z = X @ H^T, where
+    X[j, r] = x[j*D + r] (a reshape) and H[p, r] the padded tap matrix.
+    """
+    t = np.asarray(taps, dtype=np.float32)
+    ntaps = int(t.size)
+    n = x.shape[-1]
+    n_out = (n - ntaps) // decim + 1
+    p_rows = -(-ntaps // decim)
+    h = np.zeros((p_rows, decim), dtype=np.float32)
+    h.flat[:ntaps] = t
+    n_rows = n_out + p_rows - 1
+    need = n_rows * decim
+    if need > n:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (need - n,), x.dtype)], axis=-1
+        )
+    X = x[..., :need].reshape(*x.shape[:-1], n_rows, decim)
+    Xr = jnp.stack([X.real, X.imag], axis=-3).astype(jnp.float32)
+    Z = jnp.einsum(
+        "...jr,pr->...jp", Xr, jnp.asarray(h), preferred_element_type=jnp.float32
+    )
+    y = Z[..., 0:n_out, 0]
+    for p in range(1, p_rows):
+        y = y + Z[..., p : p + n_out, p]
+    return jax.lax.complex(y.take(0, axis=-2), y.take(1, axis=-2))
+
+
 def _fir_polyphase(
+    x: jax.Array, taps: np.ndarray, decim: int, hf: jax.Array | None = None
+) -> jax.Array:
+    """Polyphase decimating FIR, backend-dispatched.
+
+    CPU: the einsum/diagonal formulation (fastest there).  TPU: the
+    frequency-domain formulation below (the only one whose ops the tunnel
+    backend implements).
+    """
+    if jax.default_backend() == "cpu":
+        return _fir_polyphase_einsum(x, taps, decim)
+    return _fir_polyphase_fft(x, taps, decim, hf)
+
+
+def _fir_polyphase_fft(
     x: jax.Array, taps: np.ndarray, decim: int, hf: jax.Array | None = None
 ) -> jax.Array:
     """Polyphase decimating FIR in the frequency domain.
@@ -204,7 +249,8 @@ def freq_xlating_polyphase(
     The mix happens *after* reshaping to the (rows, decim) polyphase
     layout: the tunnel TPU backend rejects elementwise ops on 2-D arrays
     whose minor dimension is in the millions, and the reshaped layout is
-    what the FFT stage needs anyway.
+    what the FFT stage needs anyway.  On CPU the filtering itself
+    dispatches to the faster einsum formulation.
     """
     t = np.asarray(taps, dtype=np.float32)
     ntaps = int(t.size)
@@ -226,6 +272,10 @@ def freq_xlating_polyphase(
     nfft = hf.shape[-1]
     rot = jax.lax.complex(jnp.cos(phase0s), jnp.sin(phase0s))
     mixed = X[None, :, :] * C * rot[:, None, None]
+    if jax.default_backend() == "cpu":
+        return _fir_polyphase_einsum(
+            mixed.reshape(n_chan, n), taps, decim
+        ).astype(jnp.complex64)
     # Zero-pad rows to nfft and transpose on the float planes (the
     # backend rejects fft-with-implicit-pad and complex transposes).
     def pad_t(plane):

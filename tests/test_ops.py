@@ -198,3 +198,52 @@ class TestInterp:
         got = complex(interpolate(jnp.asarray(x), jnp.int32(20), jnp.float32(mu)))
         want = np.exp(2j * np.pi * 0.35 * (20 + DELAY + mu) / fs)
         assert abs(got - want) < 5e-3
+
+
+class TestDeviceConvert:
+    def test_ci16_roundtrip(self):
+        from ais_tpu.ops.convert import host_bytes, iq_from_bytes_ci16
+
+        rng = np.random.default_rng(0)
+        iq = ((rng.normal(size=500) + 1j * rng.normal(size=500)) * 0.25).astype(
+            np.complex64
+        )
+        iq = np.clip(iq.real, -0.99, 0.99) + 1j * np.clip(iq.imag, -0.99, 0.99)
+        iq = iq.astype(np.complex64)
+        raw = host_bytes(iq, "ci16")
+        got = np.asarray(iq_from_bytes_ci16(jnp.asarray(raw)))
+        np.testing.assert_allclose(got, iq, atol=1.5 / 32768)
+
+    def test_ci8_and_cu8_roundtrip(self):
+        from ais_tpu.ops.convert import (
+            host_bytes,
+            iq_from_bytes_ci8,
+            iq_from_bytes_cu8,
+        )
+
+        rng = np.random.default_rng(1)
+        iq = ((rng.normal(size=300) + 1j * rng.normal(size=300)) * 0.3).astype(
+            np.complex64
+        )
+        got8 = np.asarray(iq_from_bytes_ci8(jnp.asarray(host_bytes(iq, "ci8"))))
+        np.testing.assert_allclose(got8, iq, atol=1.5 / 128)
+        gotu = np.asarray(iq_from_bytes_cu8(jnp.asarray(host_bytes(iq, "cu8"))))
+        np.testing.assert_allclose(gotu, iq, atol=1.5 / 127.5)
+
+    def test_decode_through_ci16_ingest(self):
+        from ais_tpu.ops.convert import host_bytes, iq_from_bytes_ci16
+        from ais_tpu.pipeline import BasebandReceiver
+        from ais_tpu.tx import aivdm_payload_to_bytes, make_packet_iq
+
+        raw = aivdm_payload_to_bytes("14eG;o@034o8sd<L9i:a;WF>062D")
+        pkt = make_packet_iq(raw, 5)
+        rng = np.random.default_rng(2)
+        iq = (rng.normal(size=48000) + 1j * rng.normal(size=48000)).astype(
+            np.complex64
+        ) * 0.02
+        iq[9000 : 9000 + pkt.size] += 0.5 * pkt
+        wire = host_bytes(iq, "ci16")
+        back = np.asarray(iq_from_bytes_ci16(jnp.asarray(wire)))
+        assert BasebandReceiver().sentences(back.astype(np.complex64)) == [
+            "!AIVDM,1,1,,A,14eG;o@034o8sd<L9i:a;WF>062D,0*7D"
+        ]
