@@ -47,6 +47,21 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--repeat", action="store_true", help="loop a file source")
     p.add_argument(
+        "--demod",
+        default="discriminator",
+        choices=["discriminator", "mlse"],
+        help="bit decision path: the reference's discriminator chain, or "
+        "the coherent Viterbi decoder (~5-6 dB more sensitive) "
+        "[default=%(default)s]",
+    )
+    p.add_argument(
+        "--threshold",
+        type=float,
+        default=None,
+        help="correlator threshold as a fraction of the autocorrelation "
+        "peak [default: 0.9, or 0.4 with --demod mlse]",
+    )
+    p.add_argument(
         "--meta",
         action="store_true",
         help="prefix each sentence with sample position, channel, corr power",
@@ -56,6 +71,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     options = build_parser().parse_args(argv)
+    from ais_tpu.core.params import DemodConfig
     from ais_tpu.io.sources import FileSource, open_source
     from ais_tpu.pipeline.radio import AisRadio
 
@@ -63,7 +79,15 @@ def main(argv: list[str] | None = None) -> int:
     if isinstance(src, FileSource):
         src.repeat = options.repeat
     print(f"Rate is {int(options.rate)}", file=sys.stderr)
-    radio = AisRadio(sample_rate=options.rate, single_channel=options.singlechannel)
+    threshold = options.threshold
+    if threshold is None:
+        threshold = 0.4 if options.demod == "mlse" else 0.9
+    demod = DemodConfig(demod_mode=options.demod, corr_threshold=threshold)
+    radio = AisRadio(
+        sample_rate=options.rate,
+        single_channel=options.singlechannel,
+        demod=demod,
+    )
     try:
         for packet in radio.run(src):
             if options.meta:

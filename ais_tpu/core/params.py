@@ -134,6 +134,21 @@ class ReceiverConfig:
         )
 
 
+def config_to_dict(cfg: ReceiverConfig) -> dict:
+    """Serialize a receiver config (the authoring-format equivalent of the
+    reference's GRC flowgraph files, python/ais.grc)."""
+    return dataclasses.asdict(cfg)
+
+
+def config_from_dict(d: dict) -> ReceiverConfig:
+    return ReceiverConfig(
+        channelizer=ChannelizerConfig(**d.get("channelizer", {})),
+        demod=DemodConfig(**d.get("demod", {})),
+        deframer=DeframerConfig(**d.get("deframer", {})),
+        designator=d.get("designator", "A"),
+    )
+
+
 def dual_channel_configs(input_rate: float = 250e3) -> tuple[ReceiverConfig, ReceiverConfig]:
     """Channel A/B configs off a 162.0 MHz-centered capture.
 

@@ -122,6 +122,24 @@ class BasebandReceiver:
     def get_threshold(self) -> float:
         return self.demod_cfg.corr_threshold
 
+    # -- checkpoint / resume ------------------------------------------------
+    # The reference has none (SURVEY.md §5.4): its DSP state lives in C++
+    # block members and dies with the process.  Here the entire stream
+    # state is the tail carry + positions + dedup memory, so a snapshot is
+    # a small dict and resume is exact.
+
+    def get_state(self) -> dict:
+        return {
+            "tail": self._tail.copy(),
+            "next_start": self._next_start,
+            "dedup_recent": list(self._deduper._recent),
+        }
+
+    def set_state(self, state: dict) -> None:
+        self._tail = np.asarray(state["tail"], dtype=np.complex64).copy()
+        self._next_start = int(state["next_start"])
+        self._deduper._recent = list(state["dedup_recent"])
+
 
 class ChannelReceiver:
     """Wideband IQ -> one AIS channel via freq-xlating FIR -> decode.

@@ -30,6 +30,12 @@ class DecodedPacket:
     def nmea(self) -> str:
         return frame_to_nmea(self.payload, self.designator)
 
+    @property
+    def nmea_pdu(self) -> bytes:
+        """Sentence as bytes — the reference's `to_nmea` u8vector-PDU
+        output port (lib/pdu_to_nmea_impl.cc:137-144)."""
+        return self.nmea.encode("ascii")
+
 
 @dataclass
 class PacketDeduper:

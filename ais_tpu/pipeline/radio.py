@@ -29,8 +29,10 @@ class AisRadio:
         sample_rate: float = 250e3,
         single_channel: bool = False,
         block_len: int = 16384,
+        demod=None,
     ):
         self.sample_rate = sample_rate
+        self._demod_override = demod
         if single_channel:
             cfg = ReceiverConfig()
             cfg = cfg.with_offset(0.0, "A")
@@ -45,6 +47,12 @@ class AisRadio:
             configs = (cfg,)
         else:
             configs = dual_channel_configs(sample_rate)
+        if demod is not None:
+            import dataclasses
+
+            configs = tuple(
+                dataclasses.replace(c, demod=demod) for c in configs
+            )
         self.rx_paths = [ChannelReceiver(c, block_len=block_len) for c in configs]
 
     def process(self, iq: np.ndarray) -> list[DecodedPacket]:

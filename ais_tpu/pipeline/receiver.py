@@ -204,6 +204,35 @@ def jit_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
     return jax.jit(make_burst_demod(cfg, block_len, core_len))
 
 
+def make_debug_taps(cfg: DemodConfig, block_len: int):
+    """Intermediate-signal taps for scopes and debugging.
+
+    The reference exposes these as optional block outputs / GUI sinks:
+    the raw correlator stream (corr_est's second output,
+    lib/corr_est_cc_impl.cc:174-177) and the AFC-corrected signal the
+    GRC flowgraph scopes (python/ais.grc QT sinks).  Returns a jittable
+    (block_len,) -> dict of named tensors.
+    """
+    sps_int = int(round(cfg.samples_per_symbol))
+    wf = preamble_waveform(sps_int, cfg.gmsk_bt)
+    fs = cfg.sample_rate
+
+    def taps(x: jax.Array) -> dict:
+        a = feedforward_agc(x, cfg.agc_window, cfg.agc_reference)
+        y_det, est = square_and_fft_sync(
+            a, fs, cfg.bit_rate, cfg.fftlen, gate_ratio=cfg.afc_gate_ratio
+        )
+        corr = matched_filter(y_det, wf)
+        return {
+            "agc": a,
+            "derotated": y_det,
+            "freq_est_hz": est,
+            "corr_mag2": jnp.real(corr) ** 2 + jnp.imag(corr) ** 2,
+        }
+
+    return taps
+
+
 def frame_stream(iq: np.ndarray, block_len: int, core_len: int) -> np.ndarray:
     """Overlap-save framing: (n,) -> (n_blocks, block_len), stepped by
     core_len, zero-padded at the tail.  Block b starts at b * core_len."""

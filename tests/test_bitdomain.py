@@ -186,3 +186,24 @@ class TestFrameBits:
         payload = bytes(range(30))
         frames = deframe(frame_bits(payload))
         assert len(frames) == 1 and frames[0].payload == payload
+
+
+class TestConfigSerialization:
+    def test_roundtrip(self):
+        import dataclasses
+
+        from ais_tpu.core.params import (
+            ReceiverConfig,
+            config_from_dict,
+            config_to_dict,
+        )
+
+        cfg = ReceiverConfig().with_offset(25e3, "B")
+        cfg = dataclasses.replace(
+            cfg, demod=dataclasses.replace(cfg.demod, demod_mode="mlse")
+        )
+        d = config_to_dict(cfg)
+        import json
+
+        back = config_from_dict(json.loads(json.dumps(d)))
+        assert back == cfg

@@ -151,3 +151,26 @@ class TestReferenceDefaultRate:
         )
         assert rx.resample_rate == pytest.approx(0.96)
         assert rx.sentences(iq) == [SENTENCE]
+
+
+class TestDebugTaps:
+    def test_taps_shapes_and_burst_visibility(self, packet):
+        import jax
+        import jax.numpy as jnp
+
+        from ais_tpu.pipeline.receiver import make_debug_taps
+
+        iq = embed([(5000, packet, 1.0)], 16384)
+        taps = jax.jit(make_debug_taps(DemodConfig(), 16384))
+        out = taps(jnp.asarray(iq))
+        assert out["corr_mag2"].shape[-1] == 16384 - 140 + 1
+        assert out["freq_est_hz"].shape[-1] == 16
+        # Correlation magnitude peaks inside the burst's preamble region.
+        m = np.asarray(out["corr_mag2"])
+        assert 4950 < int(m.argmax()) < 5200
+        assert np.asarray(out["agc"]).shape == (16384,)
+
+    def test_nmea_pdu_bytes(self, packet, rx):
+        iq = embed([(5000, packet, 1.0)], 48000, seed=42)
+        pkts = rx.process(iq)
+        assert pkts and pkts[0].nmea_pdu == pkts[0].nmea.encode("ascii")

@@ -191,3 +191,52 @@ class TestRuntimeControls:
             pass
         assert t.counts["a"] == 2
         assert "a:" in t.report()
+
+
+class TestCheckpointResume:
+    def test_state_roundtrip_across_restart(self, packet):
+        # Decode a stream split at an arbitrary point; snapshot the
+        # receiver state at the split, restore into a FRESH receiver, and
+        # require identical packets (the reference cannot do this at all:
+        # SURVEY.md section 5.4).
+        iq = _noise(40000, seed=6)
+        pos = 19300  # straddles the split
+        iq[pos : pos + packet.size] += packet
+        rx = BasebandReceiver()
+        first = rx.process(iq[:20000])
+        state = rx.get_state()
+
+        rx2 = BasebandReceiver()
+        rx2.set_state(state)
+        resumed = first + rx2.process(iq[20000:])
+        assert [p.nmea for p in resumed] == [SENTENCE]
+
+    def test_cli_mlse_flag(self, tmp_path, packet):
+        iq = _noise(48000, scale=0.3, seed=8)
+        iq[20000 : 20000 + packet.size] += packet
+        path = tmp_path / "weak.iq"
+        iq.tofile(path)
+        out = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "ais_tpu.cli.ais_rx",
+                "-s",
+                str(path),
+                "-r",
+                "48000",
+                "-S",
+                "--demod",
+                "mlse",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            env={
+                "PATH": "/usr/bin:/bin:/usr/local/bin",
+                "PYTHONPATH": "/root/.axon_site",
+                "JAX_PLATFORMS": "cpu",
+                "HOME": "/root",
+            },
+        )
+        assert SENTENCE in out.stdout, (out.stdout, out.stderr[-1500:])
