@@ -54,7 +54,9 @@ def _fir_fft(x: jax.Array, taps: np.ndarray) -> jax.Array:
     # polyphase/conv paths): convolve with time-reversed taps and take the
     # fully-overlapped span.
     tf = np.fft.fft(t[::-1], nfft).astype(np.complex64)
-    y = jnp.fft.ifft(jnp.fft.fft(x, nfft, axis=-1) * jnp.asarray(tf), axis=-1)
+    from ais_tpu.ops.cplx import const_complex
+
+    y = jnp.fft.ifft(jnp.fft.fft(x, nfft, axis=-1) * const_complex(tf), axis=-1)
     from ais_tpu.ops.framing import slice_last
 
     return slice_last(y, ntaps - 1, n).astype(jnp.complex64)
@@ -213,7 +215,9 @@ def _fir_polyphase_fft(
     X = x[..., :need].reshape(*x.shape[:-1], n_rows, decim)
     nfft = 1 << (n_rows + p_rows - 2).bit_length()
     if hf is None:
-        hf = jnp.asarray(
+        from ais_tpu.ops.cplx import const_complex
+
+        hf = const_complex(
             np.fft.fft(h[::-1, :].T, nfft, axis=-1).astype(np.complex64)
         )
 
@@ -252,6 +256,11 @@ def freq_xlating_polyphase(
     what the FFT stage needs anyway.  On CPU the filtering itself
     dispatches to the faster einsum formulation.
     """
+    from ais_tpu.ops.cplx import as_complex_input
+
+    x = as_complex_input(x)
+    carriers = as_complex_input(carriers)
+    hf = as_complex_input(hf)
     t = np.asarray(taps, dtype=np.float32)
     ntaps = int(t.size)
     n = x.shape[-1]
@@ -351,7 +360,9 @@ def freq_xlating_fir_decimate(
     """
     n = x.shape[-1]
     if carrier is None:
-        carrier = jnp.asarray(_mixer_carrier(offset_hz, sample_rate, n))
+        from ais_tpu.ops.cplx import const_complex
+
+        carrier = const_complex(_mixer_carrier(offset_hz, sample_rate, n))
     ph = jnp.asarray(phase0, dtype=jnp.float32)
     # lax.complex(cos, sin) instead of complex exp (unimplemented on the
     # tunnel TPU backend).

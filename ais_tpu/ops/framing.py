@@ -24,6 +24,29 @@ def slice_last(x, start: int, end: int):
     return jax.lax.complex(x.real[..., start:end], x.imag[..., start:end])
 
 
+def frame_overlap_big(x, core: int, halo: int):
+    """Like `frame_overlap` but allowing halo >= core: the window is
+    assembled from ceil((core+halo)/core) shifted core-grid reshapes
+    (still gather-free).  Tail windows zero-fill."""
+    n = x.shape[-1]
+    if n % core != 0:
+        raise ValueError(f"length {n} not a multiple of core {core}")
+    n_blocks = n // core
+    win = core + halo
+    n_seg = -(-win // core)
+    lead = x.shape[:-1]
+    pad = (n_blocks + n_seg) * core - n
+    xp = jnp.concatenate([x, jnp.zeros(lead + (pad,), x.dtype)], axis=-1)
+    segs = []
+    for j in range(n_seg):
+        seg = slice_last(xp, j * core, (n_blocks + j) * core).reshape(
+            *lead, n_blocks, core
+        )
+        segs.append(seg)
+    out = jnp.concatenate(segs, axis=-1)
+    return out[..., :win]
+
+
 def frame_overlap(x, core: int, halo: int):
     """(..., n) -> (..., n_blocks, core + halo); block b starts at b*core.
 

@@ -75,10 +75,12 @@ class DistributedBlockDecoder:
             blocks = np.concatenate(
                 [blocks, np.zeros((pad, self.block_len), blocks.dtype)]
             )
+        from ais_tpu.ops.cplx import to_planes
+
         sharding = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec("time")
         )
-        xs = jax.device_put(blocks, sharding)
+        xs = jax.device_put(to_planes(blocks), sharding)
         return self._fn(xs), n  # caller slices records back to n blocks
 
     def decode_stream(self, iq: np.ndarray, designator: str = "A"):

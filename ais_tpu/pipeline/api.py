@@ -88,9 +88,11 @@ class BasebandReceiver:
 
         packets: list[DecodedPacket] = []
         if arr.size > 0:
+            from ais_tpu.ops.cplx import to_planes
+
             blocks = frame_stream(arr, self.block_len, self.core_len)
             for b in range(blocks.shape[0]):
-                records = self._demod(jnp.asarray(blocks[b]))
+                records = self._demod(jnp.asarray(to_planes(blocks[b])))
                 packets.extend(
                     decode_block_records(
                         records,

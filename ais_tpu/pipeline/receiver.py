@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ais_tpu.core.params import DemodConfig
 from ais_tpu.ops.agc import feedforward_agc
 from ais_tpu.ops.demod import quadrature_demod, slice_diff_invert
+from ais_tpu.ops.framing import frame_overlap_big
 from ais_tpu.ops.freq import square_and_fft_sync
 from ais_tpu.sync.corr import autocorr_threshold, detect_bursts, matched_filter
 from ais_tpu.sync.feedforward import feedforward_symbols
@@ -82,10 +83,20 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
     sps_int = int(round(cfg.samples_per_symbol))
     wf = preamble_waveform(sps_int, cfg.gmsk_bt)
     thresh = autocorr_threshold(wf, cfg.corr_threshold)
-    n_sym = cfg.max_symbols_per_burst
+    burst_grid = 512
+    if block_len % burst_grid != 0:
+        raise ValueError(f"block_len {block_len} not a multiple of {burst_grid}")
+    win_len = cfg.burst_len + burst_grid
+    n_sym = int((win_len - 16) // cfg.samples_per_symbol)
     fs = cfg.sample_rate
 
     def demod(x: jax.Array) -> BurstRecords:
+        # Accept complex input or float planes (..., 2) — complex arrays
+        # cannot cross the TPU host/device boundary (ops/cplx.py).
+        if not jnp.iscomplexobj(x):
+            from ais_tpu.ops.cplx import from_planes
+
+            x = from_planes(x)
         single = x.ndim == 1
         xb = x[None] if single else x  # (B, block_len)
         B = xb.shape[0]
@@ -111,23 +122,33 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
 
         # Seed timing recovery at peak + mark_delay, with one guard sample
         # for the mu<0 adjustment (reference lib/corr_est_cc_impl.cc:248-253
-        # -> lib/msk_timing_recovery_cc_impl.cc:148-153).  Burst extraction
-        # runs over the flattened (B*K,) lanes against the flattened sample
-        # stream so the gather stays one vmap level deep.
+        # -> lib/msk_timing_recovery_cc_impl.cc:148-153).
+        #
+        # Burst extraction: per-lane dynamic slices serialize on TPU, so
+        # starts are quantized to a `grid`-sample lattice, all lattice
+        # windows are built gather-free (shifted reshapes), and each burst
+        # picks its window with a one-hot contraction on the MXU.  The
+        # window carries `grid` extra samples so quantization never cuts
+        # the packet; the timing estimators locate the burst within it.
+        grid = burst_grid
+        win_len = cfg.burst_len + grid
         starts = jnp.clip(pos + cfg.corr_mark_delay - 1, 0, block_len - cfg.burst_len)
-        a_flat = a.reshape(B * block_len)
-        block_base = (jnp.arange(B, dtype=jnp.int32) * block_len)[:, None]
-        flat_starts = (starts + block_base).reshape(B * K)
-        # Slice the float planes separately: long vmapped dynamic_slices of
-        # complex arrays are unimplemented on the tunnel TPU backend.
-        ar, ai = a_flat.real, a_flat.imag
-
-        def cut(plane):
-            return jax.vmap(
-                lambda s: jax.lax.dynamic_slice(plane, (s,), (cfg.burst_len,))
-            )(flat_starts)
-
-        bursts = jax.lax.complex(cut(ar), cut(ai))  # (B*K, burst_len)
+        win_idx = starts // grid                      # (B, K)
+        n_win = block_len // grid
+        windows = frame_overlap_big(a, grid, win_len - grid)  # (B, n_win, win_len)
+        wr = windows.real.reshape(B * n_win, win_len)
+        wi = windows.imag.reshape(B * n_win, win_len)
+        flat_widx = (
+            win_idx + (jnp.arange(B, dtype=jnp.int32) * n_win)[:, None]
+        ).reshape(B * K)
+        onehot_w = (
+            flat_widx[:, None] == jnp.arange(B * n_win, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)
+        bursts = jax.lax.complex(
+            jnp.dot(onehot_w, wr, preferred_element_type=jnp.float32),
+            jnp.dot(onehot_w, wi, preferred_element_type=jnp.float32),
+        )  # (B*K, win_len)
+        burst_offsets = (starts - win_idx * grid).reshape(B * K)  # in [0, grid)
 
         # Per-burst chunk estimate via a one-hot contraction (gather-free).
         chunk_idx = jnp.clip(pos // cfg.fftlen, 0, est.shape[-1] - 1)  # (B, K)
@@ -135,7 +156,7 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
             chunk_idx[..., None] == jnp.arange(est.shape[-1], dtype=jnp.int32)
         ).astype(jnp.float32)
         burst_freq = jnp.einsum("bkc,bc->bk", onehot, est).reshape(B * K)
-        k = jnp.arange(cfg.burst_len, dtype=jnp.float32)
+        k = jnp.arange(win_len, dtype=jnp.float32)
         carrier_phase = (-2.0 * jnp.pi / fs) * burst_freq[:, None] * k[None, :]
         bursts = bursts * jax.lax.complex(
             jnp.cos(carrier_phase), jnp.sin(carrier_phase)
@@ -148,9 +169,9 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
             from ais_tpu.sync.mlse import burst_frames, gmsk_trellis, mlse_levels
 
             trellis = gmsk_trellis(sps_int, cfg.gmsk_bt)
-            karr = jnp.arange(cfg.burst_len, dtype=jnp.float32)
+            karr = jnp.arange(win_len, dtype=jnp.float32)
 
-            def decode_one(b):
+            def decode_one(b, off):
                 w0 = refine_freq(b, cfg.samples_per_symbol, cfg.ff_seg_len)
                 ph = -w0 * karr
                 b2 = b * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
@@ -158,9 +179,14 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
                     b2, cfg.samples_per_symbol, bt=cfg.gmsk_bt, seg_len=cfg.ff_seg_len
                 )
                 fr, v = burst_frames(b2, base + intercept, sps_int, n_sym, cfg.gmsk_bt)
-                return mlse_levels(fr, trellis), v
+                # Training-sequence phase anchor: the burst's preamble
+                # starts `off` samples into its extraction window.
+                ts = (off.astype(jnp.float32) / cfg.samples_per_symbol).astype(
+                    jnp.int32
+                ) + 2
+                return mlse_levels(fr, trellis, train_start=ts), v
 
-            levels, sym_valid = jax.vmap(decode_one)(bursts)
+            levels, sym_valid = jax.vmap(decode_one)(bursts, burst_offsets)
             bits = slice_diff_invert(levels)
         else:
             if cfg.timing_mode == "feedforward":
@@ -175,15 +201,16 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
                 )(bursts)
             else:  # pll
                 tr = jax.vmap(
-                    lambda b, m: msk_timing_recovery(
+                    lambda b, m, off: msk_timing_recovery(
                         b,
                         m,
                         cfg.samples_per_symbol,
                         cfg.clockrec_gain,
                         cfg.omega_relative_limit,
                         n_sym,
+                        start_index=off + 1,
                     )
-                )(bursts, centers.reshape(B * K))
+                )(bursts, centers.reshape(B * K), burst_offsets)
                 symbols, sym_valid = tr.symbols, tr.valid
             soft = quadrature_demod(symbols)
             bits = slice_diff_invert(soft)

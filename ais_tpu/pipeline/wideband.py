@@ -162,16 +162,23 @@ class WidebandReceiver:
 
         _taps = _low_pass(1.0, cfg.input_rate, cfg.cutoff_hz, cfg.transition_hz)
         _n_out = (n_in - _taps.size) // cfg.decimation + 1
-        # Shipped flat: host->device transfers of >2-D complex arrays are
-        # rejected by the tunnel backend; the kernel reshapes on device
-        # into the polyphase row layout.
+        # Shipped as float planes: complex arrays cannot cross the TPU
+        # host/device boundary at all (ops/cplx.py); the kernel rebuilds
+        # complex and the polyphase row layout on device.
+        from ais_tpu.ops.cplx import to_planes
+
         self._carriers = _jax.device_put(
-            np.concatenate(
-                [_mixer_carrier(off, cfg.input_rate, n_in) for off in cfg.offsets_hz]
+            to_planes(
+                np.concatenate(
+                    [
+                        _mixer_carrier(off, cfg.input_rate, n_in)
+                        for off in cfg.offsets_hz
+                    ]
+                )
             )
         )
         self._hf = _jax.device_put(
-            polyphase_spectra(_taps, cfg.decimation, _n_out)
+            to_planes(polyphase_spectra(_taps, cfg.decimation, _n_out))
         )
         # Raw samples consumed per call (stream advance).
         self.step_raw = self.n_blocks * self.core_len * cfg.decimation
@@ -192,8 +199,13 @@ class WidebandReceiver:
                 for off in self.cfg.offsets_hz
             ]
         )
+        from ais_tpu.ops.cplx import to_planes
+
         chans = self._chan_fn(
-            jnp.asarray(x), jnp.asarray(phase0s), self._carriers, self._hf
+            jnp.asarray(to_planes(np.asarray(x, np.complex64))),
+            jnp.asarray(phase0s),
+            self._carriers,
+            self._hf,
         )
         return self._demod_fn(chans)
 

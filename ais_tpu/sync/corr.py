@@ -47,7 +47,9 @@ def matched_filter(x: jax.Array, preamble: np.ndarray) -> jax.Array:
     length = int(p.size)
     nfft = 1 << (n - 1).bit_length()
     pf = np.conj(np.fft.fft(p, nfft)).astype(np.complex64)
-    corr = jnp.fft.ifft(jnp.fft.fft(x, nfft, axis=-1) * jnp.asarray(pf), axis=-1)
+    from ais_tpu.ops.cplx import const_complex
+
+    corr = jnp.fft.ifft(jnp.fft.fft(x, nfft, axis=-1) * const_complex(pf), axis=-1)
     return corr[..., : n - length + 1].astype(jnp.complex64)
 
 

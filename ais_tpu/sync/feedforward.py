@@ -94,7 +94,9 @@ def refine_freq(
     n_segs = length // seg_len
     theta = np.pi / sps
     n = np.arange(length)
-    tone_p = jnp.asarray(np.exp(-1j * theta * n).astype(np.complex64))
+    from ais_tpu.ops.cplx import const_complex
+
+    tone_p = const_complex(np.exp(-1j * theta * n).astype(np.complex64))
     z = burst * burst
     zp = (z * tone_p)[: n_segs * seg_len].reshape(n_segs, seg_len)
     cp = jnp.sum(zp, axis=-1)
@@ -128,8 +130,10 @@ def estimate_timing(
     theta = np.pi / sps
 
     n = np.arange(length)
-    tone_p = jnp.asarray(np.exp(-1j * theta * n).astype(np.complex64))
-    tone_m = jnp.asarray(np.exp(+1j * theta * n).astype(np.complex64))
+    from ais_tpu.ops.cplx import const_complex
+
+    tone_p = const_complex(np.exp(-1j * theta * n).astype(np.complex64))
+    tone_m = const_complex(np.exp(+1j * theta * n).astype(np.complex64))
 
     z = burst * burst
     zp = (z * tone_p)[: n_segs * seg_len].reshape(n_segs, seg_len)
@@ -168,6 +172,56 @@ def estimate_timing(
     return base, intercept, slope
 
 
+def feedforward_symbols_fft(
+    burst: jax.Array,
+    sps: float,
+    n_symbols: int,
+    bt: float = 0.4,
+    seg_len: int = 256,
+    min_weight_frac: float = 0.25,
+):
+    """Gather-free symbol extraction: FFT fractional delay + strided comb.
+
+    The bank-interpolation path (`feedforward_symbols`) issues one 8-tap
+    gather per symbol, which serializes on the TPU backend.  Here the
+    burst is delayed by the (single) fractional timing offset in the
+    frequency domain — ideal sinc interpolation, one batched FFT/IFFT —
+    and symbols are read off a stride-`sps` comb chosen from a handful of
+    static integer offsets by a one-hot sum.  Assumes integer sps and
+    negligible clock drift across one burst (<~100 ppm; the AIS spec
+    allows 50).  The exact drift-tracking path remains the default on CPU.
+    """
+    length = burst.shape[-1]
+    sps_i = int(round(sps))
+    base, intercept, _ = estimate_timing(
+        burst, sps, bt=bt, seg_len=seg_len, min_weight_frac=min_weight_frac
+    )
+    tau = base + intercept
+    R = jnp.floor(tau).astype(jnp.int32)
+    mu = tau - R.astype(jnp.float32)
+    nfft = 1 << (length - 1).bit_length()
+    F = jnp.fft.fft(burst, nfft)
+    kf = jnp.asarray(np.fft.fftfreq(nfft).astype(np.float32)) * nfft
+    ph = (2.0 * np.pi / nfft) * kf * mu
+    delayed = jnp.fft.ifft(F * jax.lax.complex(jnp.cos(ph), jnp.sin(ph)))[:length]
+
+    # Candidate integer offsets: base lies in [DELAY+1, DELAY+1+sps), and
+    # intercept can push floor(tau) one either side.
+    r0 = DELAY
+    n_cand = sps_i + 2
+    views = []
+    for c in range(n_cand):
+        start = r0 + c
+        v = delayed[start : start + sps_i * n_symbols]
+        views.append(v.reshape(n_symbols, sps_i)[:, 0])
+    views = jnp.stack(views)                      # (n_cand, n_symbols)
+    oh = (R == (r0 + jnp.arange(n_cand, dtype=jnp.int32))).astype(jnp.float32)
+    symbols = jnp.sum(views * oh[:, None], axis=0)
+    kpos = R.astype(jnp.float32) + jnp.arange(n_symbols, dtype=jnp.float32) * sps_i
+    valid = (kpos >= 0) & (kpos + sps_i + 8 <= length)
+    return symbols.astype(jnp.complex64), valid
+
+
 def feedforward_symbols(
     burst: jax.Array,
     sps: float,
@@ -180,7 +234,14 @@ def feedforward_symbols(
 
     Returns (symbols complex64 (n_symbols,), valid bool (n_symbols,)).
     Drop-in replacement for the PLL's outputs (same downstream demod).
+    On non-CPU backends dispatches to the gather-free FFT formulation
+    when sps is integral (see feedforward_symbols_fft).
     """
+    if jax.default_backend() != "cpu" and abs(sps - round(sps)) < 1e-9:
+        return feedforward_symbols_fft(
+            burst, sps, n_symbols, bt=bt, seg_len=seg_len,
+            min_weight_frac=min_weight_frac,
+        )
     length = burst.shape[-1]
     base, intercept, slope = estimate_timing(
         burst, sps, bt=bt, seg_len=seg_len, min_weight_frac=min_weight_frac

@@ -124,7 +124,7 @@ def mlse_levels(
     frames: jax.Array,
     trellis: GmskTrellis,
     n_train: int = 16,
-    train_start: int = 4,
+    train_start: jax.Array | int = 4,
 ) -> jax.Array:
     """Viterbi-decode NRZI levels (+-1 float) from symbol-interval frames.
 
@@ -145,7 +145,7 @@ def mlse_levels(
     # onto any of the 4 alignments of the periodic training pattern, so
     # all 4 candidate paths compete and the strongest wins).
     idx = jnp.asarray(trellis.train_paths[:, :n_train])  # (4, n_train)
-    k = jnp.arange(n_train) + train_start
+    k = jnp.arange(n_train) + jnp.asarray(train_start, dtype=jnp.int32)
     tr_r = cr[k[None, :], idx].sum(axis=1)  # (4,)
     tr_i = ci[k[None, :], idx].sum(axis=1)
     mag = tr_r * tr_r + tr_i * tr_i

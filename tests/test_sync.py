@@ -143,3 +143,37 @@ class TestTimingRecovery:
                 slice_diff_invert(quadrature_demod(tr.symbols[k]))
             )[np.asarray(tr.valid[k])]
             assert len(deframe(bits)) == 1
+
+
+class TestFeedforwardFftPath:
+    def test_matches_bank_path_and_decodes(self):
+        # The TPU fast path (FFT fractional delay + comb) must agree with
+        # the bank-interpolation path closely enough to decode identically.
+        from ais_tpu.sync.feedforward import (
+            feedforward_symbols,
+            feedforward_symbols_fft,
+        )
+
+        raw = aivdm_payload_to_bytes(PAYLOAD)
+        iq = make_packet_iq(raw, samples_per_symbol=5)
+        rng = np.random.default_rng(3)
+        for seed in range(3):
+            rng = np.random.default_rng(seed)
+            burst = (rng.normal(size=4608) + 1j * rng.normal(size=4608)).astype(
+                np.complex64
+            ) * 0.03
+            off = int(rng.integers(0, 400))
+            burst[off : off + iq.size] += (iq * np.exp(1j * rng.uniform(0, 6))).astype(
+                np.complex64
+            )
+            b = jnp.asarray(burst)
+            s_fft, v_fft = feedforward_symbols_fft(b, 5.0, 900)
+            s_ref, v_ref = feedforward_symbols(b, 5.0, 900)
+            from ais_tpu.ops.demod import quadrature_demod, slice_diff_invert
+
+            bits_fft = np.asarray(slice_diff_invert(quadrature_demod(s_fft)))
+            bits_ref = np.asarray(slice_diff_invert(quadrature_demod(s_ref)))
+            f1 = deframe(bits_fft[np.asarray(v_fft)])
+            f2 = deframe(bits_ref[np.asarray(v_ref)])
+            assert len(f1) == 1 and f1[0].payload == raw, seed
+            assert len(f2) == 1 and f2[0].payload == raw, seed
