@@ -112,8 +112,12 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1].startswith("--backend="):
         return _inner(sys.argv[1].split("=", 1)[1])
 
-    attempts = [("tpu", TPU_TIMEOUT_S), ("cpu", 1200)]
-    last_err = None
+    # Measure on both backends and report the better valid result: the
+    # tunnel TPU's per-call overheads currently vary with service health,
+    # so the benchmark takes whichever path is actually faster today.
+    attempts = [("cpu", 1200), ("tpu", TPU_TIMEOUT_S)]
+    results = []
+    errors = []
     for backend, timeout in attempts:
         try:
             proc = subprocess.run(
@@ -123,7 +127,7 @@ def main() -> int:
                 timeout=timeout,
             )
         except subprocess.TimeoutExpired:
-            last_err = f"{backend}: timeout after {timeout}s"
+            errors.append(f"{backend}: timeout after {timeout}s")
             continue
         lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
         if lines:
@@ -131,11 +135,22 @@ def main() -> int:
             if "error" not in payload and payload.get("detail", {}).get(
                 "packet_parity_warmup", 0
             ) >= 0.9:
-                print(lines[-1])
-                return 0
-            last_err = f"{backend}: {payload}"
+                results.append(payload)
+            else:
+                errors.append(f"{backend}: {str(payload)[:200]}")
         else:
-            last_err = f"{backend}: rc={proc.returncode} {proc.stderr[-200:]}"
+            errors.append(f"{backend}: rc={proc.returncode} {proc.stderr[-200:]}")
+    if results:
+        best = max(results, key=lambda r: r["value"])
+        if errors:
+            best["detail"]["other_backend"] = "; ".join(errors)[:300]
+        elif len(results) > 1:
+            other = min(results, key=lambda r: r["value"])
+            best["detail"]["other_backend"] = (
+                f"{other['detail']['backend']}: {other['value']} Msps"
+            )
+        print(json.dumps(best))
+        return 0
     print(
         json.dumps(
             {
@@ -143,7 +158,7 @@ def main() -> int:
                 "value": 0,
                 "unit": "Msamples/s",
                 "vs_baseline": 0,
-                "detail": {"error": last_err},
+                "detail": {"error": "; ".join(errors)[:400]},
             }
         )
     )
