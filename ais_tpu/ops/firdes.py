@@ -44,6 +44,45 @@ def low_pass(
     return taps.astype(np.float32)
 
 
+def _kaiser_beta(attenuation_db: float) -> float:
+    """Kaiser's empirical beta for a target stopband attenuation."""
+    a = float(attenuation_db)
+    if a > 50.0:
+        return 0.1102 * (a - 8.7)
+    if a >= 21.0:
+        return 0.5842 * (a - 21.0) ** 0.4 + 0.07886 * (a - 21.0)
+    return 0.0
+
+
+def low_pass_2(
+    gain: float,
+    sample_rate: float,
+    cutoff_hz: float,
+    transition_hz: float,
+    attenuation_db: float = 53.0,
+    ntaps: int | None = None,
+) -> np.ndarray:
+    """Attenuation-parameterized low-pass (Kaiser-windowed sinc).
+
+    Equivalent of upstream `firdes.low_pass_2`, which the reference's
+    development flowgraph uses for the polyphase-resampler prototype at a
+    96 dB stopband spec (reference: python/ais.grc:1523).  Tap count from
+    Kaiser's rule `N = (A - 7.95) / (2.285 * dw)`; window beta from the
+    standard attenuation formula.
+    """
+    if ntaps is None:
+        dw = 2.0 * np.pi * transition_hz / sample_rate
+        ntaps = int(np.ceil((attenuation_db - 7.95) / (2.285 * dw)))
+    ntaps |= 1
+    m = (ntaps - 1) // 2
+    n = np.arange(-m, m + 1, dtype=np.float64)
+    fw = 2.0 * np.pi * cutoff_hz / sample_rate
+    taps = np.where(n == 0, fw / np.pi, np.sin(n * fw) / (n * np.pi + (n == 0)))
+    taps = taps * np.kaiser(ntaps, _kaiser_beta(attenuation_db))
+    taps = taps * (gain / taps.sum())
+    return taps.astype(np.float32)
+
+
 def gaussian(gain: float, samples_per_symbol: float, bt: float, ntaps: int) -> np.ndarray:
     """Gaussian pulse taps for GMSK, normalized to sum to `gain`.
 

@@ -187,6 +187,16 @@ class ChannelReceiver:
         self._ntaps = int(self.taps.size)
         self._tail = np.zeros(0, dtype=np.complex64)
         self._next_start = 0
+        # Fractional-rate streaming state: the resampler carries its own
+        # input tail and output counter so packets straddling a process()
+        # boundary survive (the reference's default 250 ksps mode,
+        # python/radio.py:120-121, is exactly this path).
+        if self.resample_rate is not None:
+            from ais_tpu.ops.resample import PfbArbResampler
+
+            self._resampler = PfbArbResampler(self.resample_rate)
+        else:
+            self._resampler = None
 
     def process(self, iq: np.ndarray) -> list[DecodedPacket]:
         chan = self.config.channelizer
@@ -213,17 +223,33 @@ class ChannelReceiver:
         n_base = baseband.shape[-1]
         consumed_raw = n_base * self.decim
         self._tail = arr[consumed_raw:]
-        if self.resample_rate is not None:
-            from ais_tpu.ops.resample import pfb_arb_resample
-
-            baseband = np.asarray(
-                pfb_arb_resample(jnp.asarray(baseband), self.resample_rate)
-            ).astype(np.complex64)
-            # Resampler output lengths vary by a sample between calls;
-            # let the baseband receiver's own monotonic counter track
-            # positions (exact alignment only matters for dedup).
-            return self.baseband.process(baseband)
+        if self._resampler is not None:
+            out_start = self._resampler.outputs_emitted
+            resampled = self._resampler.process(baseband)
+            # The resampler's absolute output grid is the stream position:
+            # concatenated calls produce the identical sample sequence as
+            # one whole-stream call, so boundary packets decode exactly
+            # once through the BasebandReceiver's overlap carry.
+            return self.baseband.process(resampled, start_sample=out_start)
         return self.baseband.process(baseband, start_sample=start // self.decim)
 
     def sentences(self, iq: np.ndarray) -> list[str]:
         return [p.nmea for p in self.process(iq)]
+
+    # -- checkpoint / resume -------------------------------------------------
+    def get_state(self) -> dict:
+        state = {
+            "tail": self._tail.copy(),
+            "next_start": self._next_start,
+            "baseband": self.baseband.get_state(),
+        }
+        if self._resampler is not None:
+            state["resampler"] = self._resampler.get_state()
+        return state
+
+    def set_state(self, state: dict) -> None:
+        self._tail = np.asarray(state["tail"], dtype=np.complex64).copy()
+        self._next_start = int(state["next_start"])
+        self.baseband.set_state(state["baseband"])
+        if self._resampler is not None:
+            self._resampler.set_state(state["resampler"])

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from ais_tpu.ops.agc import feedforward_agc
 from ais_tpu.ops.demod import quadrature_demod, slice_diff_invert
 from ais_tpu.ops.fir import fir_filter, freq_xlating_fir_decimate, mixer_phase
-from ais_tpu.ops.firdes import low_pass
+from ais_tpu.ops.firdes import low_pass, low_pass_2
 from ais_tpu.ops.freq import freqest, gate_and_hold, square_and_fft_sync
 from ais_tpu.ops.interp import DELAY, NTAPS, interp_taps, interpolate
 
@@ -85,6 +85,35 @@ class TestFir:
             )
         )
         np.testing.assert_allclose(np.concatenate([a, b]), whole, atol=2e-3)
+
+
+class TestFirdes2:
+    """Attenuation-parameterized design — upstream firdes.low_pass_2,
+    used by the reference's resampler prototype (python/ais.grc:1523)."""
+
+    @pytest.mark.parametrize("atten", [60.0, 96.0])
+    def test_stopband_attenuation_met(self, atten):
+        fs, cutoff, trans = 48000.0, 11000.0, 1000.0
+        taps = low_pass_2(1.0, fs, cutoff, trans, atten)
+        H = np.abs(np.fft.rfft(taps, 1 << 16))
+        w = np.fft.rfftfreq(1 << 16, 1.0 / fs)
+        stop = w > cutoff + trans
+        worst_db = 20 * np.log10(H[stop].max() / H[0])
+        assert worst_db < -atten
+
+    def test_unity_dc_gain_and_passband(self):
+        fs = 48000.0
+        taps = low_pass_2(1.0, fs, 11000.0, 1000.0, 96.0)
+        np.testing.assert_allclose(taps.sum(), 1.0, atol=1e-6)
+        H = np.abs(np.fft.rfft(taps, 1 << 16))
+        w = np.fft.rfftfreq(1 << 16, 1.0 / fs)
+        passband = H[w < 10000.0]
+        np.testing.assert_allclose(passband, 1.0, atol=0.01)
+
+    def test_higher_attenuation_means_more_taps(self):
+        t60 = low_pass_2(1.0, 48e3, 11e3, 1e3, 60.0)
+        t96 = low_pass_2(1.0, 48e3, 11e3, 1e3, 96.0)
+        assert t96.size > t60.size
 
 
 class TestAgc:

@@ -5,7 +5,12 @@ import pytest
 
 import jax.numpy as jnp
 
-from ais_tpu.ops.resample import default_prototype, pfb_arb_resample, polyphase_bank
+from ais_tpu.ops.resample import (
+    PfbArbResampler,
+    default_prototype,
+    pfb_arb_resample,
+    polyphase_bank,
+)
 
 
 class TestBank:
@@ -42,6 +47,15 @@ class TestResample:
         tpp = polyphase_bank(default_prototype(32), 32).shape[1]
         assert y.shape[0] == int((1000 - tpp) * 0.5)
 
+    def test_prototype_meets_96db_spec(self):
+        # The default prototype follows the reference dev flowgraph's
+        # low_pass_2(..., 96 dB) spec (python/ais.grc:1523).
+        taps = default_prototype(32)
+        H = np.abs(np.fft.rfft(taps.astype(np.float64), 1 << 18))
+        w = np.fft.rfftfreq(1 << 18, 1.0 / 32)
+        stop = w > 0.5  # past the per-phase Nyquist edge
+        assert 20 * np.log10(H[stop].max() / H[0]) < -96.0
+
     def test_decode_through_resampler(self):
         # 50 ksps channel resampled to 48 ksps then decoded: the
         # reference's preferred modern topology (python/ais.grc:1523).
@@ -63,3 +77,56 @@ class TestResample:
         rx = BasebandReceiver()
         out = rx.sentences(iq48b.astype(np.complex64))
         assert out == ["!AIVDM,1,1,,A,14eG;o@034o8sd<L9i:a;WF>062D,0*7D"]
+
+
+class TestStreamingResampler:
+    """PfbArbResampler: exact state carry across arbitrary chunking."""
+
+    @pytest.mark.parametrize("rate", [0.96, 1.0, 1.25, 48000.0 / 50000.0])
+    @pytest.mark.parametrize("chunk", [97, 1000, 4096])
+    def test_chunked_equals_whole(self, rate, chunk):
+        rng = np.random.default_rng(1)
+        n = 12000
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        whole = PfbArbResampler(rate)
+        y_whole = whole.process(x)
+        chunked = PfbArbResampler(rate)
+        parts = [
+            chunked.process(x[i : i + chunk]) for i in range(0, n, chunk)
+        ]
+        y_chunked = np.concatenate(parts)
+        assert y_chunked.size == y_whole.size
+        np.testing.assert_allclose(y_chunked, y_whole, atol=1e-6)
+
+    def test_matches_stateless_one_shot(self):
+        rng = np.random.default_rng(2)
+        x = (rng.normal(size=3000) + 1j * rng.normal(size=3000)).astype(
+            np.complex64
+        )
+        rate = 0.96
+        y_stateless = np.asarray(pfb_arb_resample(jnp.asarray(x), rate))
+        y_stream = PfbArbResampler(rate).process(x)
+        m = min(y_stateless.size, y_stream.size)
+        np.testing.assert_allclose(y_stream[:m], y_stateless[:m], atol=1e-5)
+
+    def test_no_samples_lost_at_boundaries(self):
+        # The stateless call drops ~taps_per_phase inputs per call; the
+        # streaming class must emit every output the whole stream implies.
+        rate = 0.96
+        r = PfbArbResampler(rate)
+        n = 10000
+        x = np.ones(n, dtype=np.complex64)
+        total = sum(r.process(x[i : i + 500]).size for i in range(0, n, 500))
+        assert total >= int((n - r.taps_per_phase) * rate)
+
+    def test_state_roundtrip(self):
+        rng = np.random.default_rng(3)
+        x = (rng.normal(size=5000) + 1j * rng.normal(size=5000)).astype(
+            np.complex64
+        )
+        a = PfbArbResampler(0.96)
+        a.process(x[:2500])
+        state = a.get_state()
+        b = PfbArbResampler(0.96)
+        b.set_state(state)
+        np.testing.assert_allclose(a.process(x[2500:]), b.process(x[2500:]))

@@ -53,6 +53,66 @@ class TestStreamingContinuity:
         assert [p.nmea for p in got] == [SENTENCE] * 3
 
 
+class TestStreaming250k:
+    """The reference's installed default: continuous 250 ksps streaming
+    (python/radio.py:120-121).  The fractional-rate resampler must carry
+    state across process() calls so boundary-straddling packets decode
+    exactly once (round-1 gap: the stateless resampler dropped its tail
+    and reset the fractional phase every call)."""
+
+    @pytest.fixture(scope="class")
+    def capture_250k(self):
+        import jax.numpy as jnp
+
+        from ais_tpu.ops.resample import pfb_arb_resample
+
+        raw = aivdm_payload_to_bytes(PAYLOAD)
+        burst48 = make_packet_iq(raw, samples_per_symbol=5)
+        sig48 = np.zeros(60000, dtype=np.complex64)
+        pos48 = 24000  # ~125000 raw samples: mid-capture
+        sig48[pos48 : pos48 + burst48.size] = burst48
+        sig250 = np.asarray(pfb_arb_resample(jnp.asarray(sig48), 250.0 / 48.0))
+        n = sig250.size
+        t = np.arange(n) / 250e3
+        iq = _noise(n, seed=7)
+        iq += (sig250 * np.exp(-2j * np.pi * 25e3 * t)).astype(np.complex64)
+        return iq
+
+    @pytest.mark.parametrize("chunk", [10000, 50000, 124000])
+    def test_straddling_packet_decodes_exactly_once(self, capture_250k, chunk):
+        from ais_tpu.core.params import ChannelizerConfig, ReceiverConfig
+        from ais_tpu.pipeline import ChannelReceiver
+
+        rx = ChannelReceiver(
+            ReceiverConfig(
+                channelizer=ChannelizerConfig(input_rate=250e3, offset_hz=-25e3)
+            )
+        )
+        assert rx.resample_rate == pytest.approx(0.96)
+        got = []
+        for i in range(0, capture_250k.size, chunk):
+            got.extend(rx.process(capture_250k[i : i + chunk]))
+        assert [p.nmea for p in got] == [SENTENCE]
+
+    def test_checkpoint_resume_through_resampler(self, capture_250k):
+        from ais_tpu.core.params import ChannelizerConfig, ReceiverConfig
+        from ais_tpu.pipeline import ChannelReceiver
+
+        cfg = ReceiverConfig(
+            channelizer=ChannelizerConfig(input_rate=250e3, offset_hz=-25e3)
+        )
+        a = ChannelReceiver(cfg)
+        got_a = list(a.process(capture_250k[:100000]))
+        state = a.get_state()
+        b = ChannelReceiver(cfg)
+        b.set_state(state)
+        got_a.extend(a.process(capture_250k[100000:]))
+        got_b = list(b.process(capture_250k[100000:]))
+        # The resumed receiver must finish the straddling packet too.
+        assert [p.nmea for p in got_a] == [SENTENCE]
+        assert [p.nmea for p in got_b] == [SENTENCE]
+
+
 class TestRadio:
     def test_dual_channel_wideband(self, packet):
         # 240 ksps wideband with a packet on each channel.
