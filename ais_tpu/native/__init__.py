@@ -165,6 +165,16 @@ def hdlc_deframe(
         starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         max_frames,
     )
+    if n == max_frames:
+        # The C kernel stops emitting at max_frames; hitting the cap means
+        # later frames in this bit stream may have been dropped.
+        import logging
+
+        logging.getLogger("ais_tpu").warning(
+            "native hdlc_deframe hit max_frames=%d — possible truncation; "
+            "pass a larger max_frames",
+            max_frames,
+        )
     out = []
     off = 0
     for i in range(n):

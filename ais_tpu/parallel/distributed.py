@@ -90,7 +90,7 @@ class DistributedBlockDecoder:
         blocks = frame_stream(iq, self.block_len, self.core_len)
         records, n = self.decode_blocks(blocks)
         records = jax.tree.map(np.asarray, records)
-        dedup = PacketDeduper(window=2 * self.cfg.burst_len)
+        dedup = PacketDeduper()
         packets = []
         for b in range(n):
             rec_b = jax.tree.map(lambda a: a[b], records)

@@ -59,7 +59,7 @@ class BasebandReceiver:
         if self.core_len <= 0:
             raise ValueError(f"block_len {block_len} too small for halo")
         self._demod = jit_burst_demod(demod, block_len, self.core_len)
-        self._deduper = PacketDeduper(window=2 * demod.burst_len)
+        self._deduper = PacketDeduper()
         # Streaming carry: tail samples re-presented to the next call so
         # call-boundary packets are never lost.
         self._overlap = self.block_len - self.core_len
@@ -101,6 +101,7 @@ class BasebandReceiver:
                         deframer=self.deframer_cfg,
                         deduper=self._deduper,
                         fftlen=self.demod_cfg.fftlen,
+                        samples_per_symbol=self.demod_cfg.samples_per_symbol,
                     )
                 )
         keep = min(arr.size, self._overlap)

@@ -49,6 +49,12 @@ class BurstRecords(NamedTuple):
     bits: jax.Array        # (K, n_symbols) u8 — NRZI-decoded bits
     bit_valid: jax.Array   # (K, n_symbols) bool
     freq_est: jax.Array    # (n_chunks,) f32 — AFC estimates (debug)
+    n_detected: jax.Array  # () i32 — peaks found pre-cap; > K means the
+                           # table overflowed (host logs, never silent)
+    win_start: jax.Array   # (K,) i32 — block sample index of the burst's
+                           # extraction window (bit b sits near
+                           # win_start + b*sps): the anchor for per-frame
+                           # absolute positioning on host
 
 
 def required_halo(cfg: DemodConfig) -> int:
@@ -114,11 +120,11 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
             a, fs, cfg.bit_rate, cfg.fftlen, gate_ratio=cfg.afc_gate_ratio
         )
         corr = matched_filter(y_det, wf)
-        pos, centers, phases, mags, valid = jax.vmap(
+        pos, centers, phases, mags, valid, n_det = jax.vmap(
             lambda c: detect_bursts(
                 c, thresh, cfg.nms_radius, cfg.max_bursts_per_block, core_len
             )
-        )(corr)  # each (B, K)
+        )(corr)  # each (B, K); n_det (B,)
 
         # Seed timing recovery at peak + mark_delay, with one guard sample
         # for the mu<0 adjustment (reference lib/corr_est_cc_impl.cc:248-253
@@ -217,7 +223,10 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
 
         bits = bits.reshape(B, K, n_sym)
         sym_valid = sym_valid.reshape(B, K, n_sym)
-        rec = BurstRecords(pos, centers, phases, mags, valid, bits, sym_valid, est)
+        rec = BurstRecords(
+            pos, centers, phases, mags, valid, bits, sym_valid, est, n_det,
+            (win_idx * grid).astype(jnp.int32),
+        )
         if single:
             rec = jax.tree.map(lambda t: t[0], rec)
         return rec

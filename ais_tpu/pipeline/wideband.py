@@ -187,8 +187,7 @@ class WidebandReceiver:
         from ais_tpu.pipeline.host import PacketDeduper
 
         self._dedupers = [
-            PacketDeduper(window=2 * cfg.demod.burst_len)
-            for _ in cfg.offsets_hz
+            PacketDeduper() for _ in cfg.offsets_hz
         ]
 
     def decode_wire(self, raw_u8: np.ndarray, fmt: str = "ci8"):
@@ -240,6 +239,7 @@ class WidebandReceiver:
                         designator=self.cfg.designators[c],
                         deduper=self._dedupers[c],
                         fftlen=self.cfg.demod.fftlen,
+                        samples_per_symbol=self.cfg.sps,
                     )
                 )
         packets.sort(key=lambda p: p.abs_sample)

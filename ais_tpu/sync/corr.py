@@ -66,10 +66,13 @@ def detect_bursts(
     framing decodes boundary-straddling packets exactly once (the shard
     owning the preamble start owns the packet — SURVEY.md section 5.7).
 
-    Returns (positions i32, centers f32, phases f32, mags f32, valid bool),
-    each (max_bursts,).  `centers` is the 3-point center-of-mass fractional
-    peak offset in (-1, 1) (reference lib/corr_est_cc_impl.cc:219-227);
-    `phases` the correlator phase at the peak (:247).
+    Returns (positions i32, centers f32, phases f32, mags f32, valid bool,
+    n_detected i32 scalar), the first five each (max_bursts,).  `centers`
+    is the 3-point center-of-mass fractional peak offset in (-1, 1)
+    (reference lib/corr_est_cc_impl.cc:219-227); `phases` the correlator
+    phase at the peak (:247).  `n_detected` counts every accepted peak
+    before the table cap so overflow (n_detected > max_bursts) is
+    *visible* — the host logs it instead of silently truncating.
     """
     n = corr.shape[-1]
     mag2 = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
@@ -103,4 +106,5 @@ def detect_bursts(
         phases.astype(jnp.float32),
         m_cur.astype(jnp.float32),
         valid,
+        jnp.sum(is_peak.astype(jnp.int32)),
     )

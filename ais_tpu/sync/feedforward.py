@@ -197,6 +197,14 @@ def feedforward_symbols_fft(
         burst, sps, bt=bt, seg_len=seg_len, min_weight_frac=min_weight_frac
     )
     tau = base + intercept
+    # Clamp into the candidate comb range below: under extreme drift or
+    # noise |intercept| can push floor(tau) outside it, and an unclamped
+    # one-hot would silently select *no* comb (all-zero symbols with
+    # valid=True).  Clamped, a bad estimate degrades to a CRC failure
+    # instead of an invisible zero burst.
+    r0 = DELAY
+    n_cand = sps_i + 2
+    tau = jnp.clip(tau, float(r0), float(r0 + n_cand) - 1e-3)
     R = jnp.floor(tau).astype(jnp.int32)
     mu = tau - R.astype(jnp.float32)
     nfft = 1 << (length - 1).bit_length()
@@ -207,8 +215,6 @@ def feedforward_symbols_fft(
 
     # Candidate integer offsets: base lies in [DELAY+1, DELAY+1+sps), and
     # intercept can push floor(tau) one either side.
-    r0 = DELAY
-    n_cand = sps_i + 2
     views = []
     for c in range(n_cand):
         start = r0 + c

@@ -174,3 +174,76 @@ class TestDebugTaps:
         iq = embed([(5000, packet, 1.0)], 48000, seed=42)
         pkts = rx.process(iq)
         assert pkts and pkts[0].nmea_pdu == pkts[0].nmea.encode("ascii")
+
+
+class TestHighTraffic:
+    """Full-load correctness: many bursts per block, zero silent drops.
+
+    Real AIS is TDMA at 2250 slots/min/channel (~37.5/s, ~9 per 0.24 s
+    core block); these tests go well beyond that to prove the fixed-size
+    burst table either holds every burst or *reports* overflow loudly.
+    """
+
+    def _dense_block(self, n_bursts, spacing, block_len):
+        raw = aivdm_payload_to_bytes(PAYLOAD)
+        burst = make_packet_iq(raw, samples_per_symbol=5)
+        iq = _dense_noise(block_len)
+        for k in range(n_bursts):
+            pos = 2000 + k * spacing
+            iq[pos : pos + burst.size] += burst
+        return iq
+
+    def test_64_bursts_one_block_zero_drops(self):
+        import jax.numpy as jnp
+
+        from ais_tpu.core.params import DemodConfig
+        from ais_tpu.ops.cplx import to_planes
+        from ais_tpu.pipeline.host import decode_block_records
+        from ais_tpu.pipeline.receiver import jit_burst_demod, required_halo
+
+        n_bursts, spacing, block_len = 64, 1400, 98304
+        cfg = DemodConfig(max_bursts_per_block=80)
+        core = block_len - required_halo(cfg)
+        assert 2000 + n_bursts * spacing < core
+        iq = self._dense_block(n_bursts, spacing, block_len)
+        demod = jit_burst_demod(cfg, block_len, core)
+        rec = demod(jnp.asarray(to_planes(iq)))
+        assert int(np.asarray(rec.n_detected)) == n_bursts
+        assert int(np.asarray(rec.valid).sum()) == n_bursts
+        from ais_tpu.pipeline.host import PacketDeduper
+
+        packets = decode_block_records(rec, 0, deduper=PacketDeduper())
+        assert len(packets) == n_bursts
+        assert all(p.nmea == SENTENCE for p in packets)
+        # Every packet is anchored to its own transmission's preamble.
+        anchors = sorted(p.abs_sample for p in packets)
+        expected = [2000 + k * 1400 for k in range(n_bursts)]
+        assert all(abs(a - e) < 100 for a, e in zip(anchors, expected))
+
+    def test_overflow_is_logged_not_silent(self, caplog):
+        import logging
+
+        import jax.numpy as jnp
+
+        from ais_tpu.core.params import DemodConfig
+        from ais_tpu.ops.cplx import to_planes
+        from ais_tpu.pipeline.host import decode_block_records
+        from ais_tpu.pipeline.receiver import jit_burst_demod, required_halo
+
+        n_bursts, spacing, block_len = 24, 1400, 49152
+        cfg = DemodConfig(max_bursts_per_block=8)
+        core = block_len - required_halo(cfg)
+        iq = self._dense_block(n_bursts, spacing, block_len)
+        demod = jit_burst_demod(cfg, block_len, core)
+        rec = demod(jnp.asarray(to_planes(iq)))
+        assert int(np.asarray(rec.n_detected)) == n_bursts  # counted pre-cap
+        with caplog.at_level(logging.WARNING, logger="ais_tpu"):
+            decode_block_records(rec, 0)
+        assert any("overflow" in r.message for r in caplog.records)
+
+
+def _dense_noise(n, seed=3, scale=0.004):
+    rng = np.random.default_rng(seed)
+    return ((rng.normal(size=n) + 1j * rng.normal(size=n)) * scale).astype(
+        np.complex64
+    )

@@ -44,7 +44,7 @@ class TestDetectBursts:
         mag = np.zeros(1000)
         mag[100] = 9.0
         mag[500] = 16.0
-        pos, cen, ph, m, valid = self._detect(mag)
+        pos, cen, ph, m, valid, n_det = self._detect(mag)
         assert np.asarray(pos)[:2].tolist() == [100, 500]
         assert np.asarray(valid).tolist() == [True, True, False, False]
         np.testing.assert_allclose(np.asarray(m)[:2], [9.0, 16.0])
@@ -52,30 +52,30 @@ class TestDetectBursts:
     def test_threshold_gates(self):
         mag = np.zeros(1000)
         mag[100] = 0.5
-        _, _, _, _, valid = self._detect(mag)
+        valid = self._detect(mag)[4]
         assert not np.asarray(valid).any()
 
     def test_nms_keeps_strongest(self):
         mag = np.zeros(1000)
         mag[100] = 9.0
         mag[105] = 10.0  # within radius; stronger wins
-        pos, _, _, _, valid = self._detect(mag)
+        pos, _, _, _, valid, _ = self._detect(mag)
         assert np.asarray(valid).sum() == 1
         assert np.asarray(pos)[0] == 105
 
     def test_core_fencing(self):
         mag = np.zeros(1000)
         mag[950] = 9.0  # in halo: must be ignored
-        _, _, _, _, valid = self._detect(mag)
+        valid = self._detect(mag)[4]
         assert not np.asarray(valid).any()
 
     def test_center_of_mass(self):
         mag = np.zeros(1000)
         mag[99], mag[100], mag[101] = 4.0, 9.0, 4.0
-        _, cen, _, _, _ = self._detect(mag)
+        cen = self._detect(mag)[1]
         assert abs(float(np.asarray(cen)[0])) < 1e-6  # symmetric -> 0
         mag[101] = 8.0
-        _, cen, _, _, _ = self._detect(mag)
+        cen = self._detect(mag)[1]
         assert float(np.asarray(cen)[0]) > 0.05  # skewed right -> positive
 
 
