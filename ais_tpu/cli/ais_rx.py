@@ -87,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
         sample_rate=options.rate,
         single_channel=options.singlechannel,
         demod=demod,
+        ppm=options.error,
     )
     try:
         for packet in radio.run(src):

@@ -280,6 +280,17 @@ class WidebandReceiver:
             self._pos += self.step_raw
         return out
 
+    def flush(self):
+        """End-of-stream: zero-pad the residual buffer to one full step
+        and decode it.  Call once when the source is exhausted; packets
+        in the undecoded tail (< n_in samples) are recovered.  The zero
+        padding becomes part of the stream, so only flush at the end."""
+        if self._buf.size == 0:
+            return []
+        return self.decode(
+            np.zeros(max(self.n_in - self._buf.size, 0), dtype=np.complex64)
+        )
+
     def decode(self, iq: np.ndarray):
         """Feed raw samples, return host-decoded packets from full steps."""
         import jax as _jax

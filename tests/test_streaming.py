@@ -128,7 +128,11 @@ class TestRadio:
             burst * np.exp(+2j * np.pi * 25e3 * t)
         ).astype(np.complex64)
         radio = AisRadio(sample_rate=fs)
-        packets = radio.process(iq)
+        # 240 ksps decimates integrally to 48 ksps: the radio must pick
+        # the fused wideband program (one XLA program for both channels),
+        # the same topology the benchmark measures.
+        assert radio.uses_fused_wideband
+        packets = radio.process(iq) + radio.flush()
         assert [(p.designator) for p in packets] == ["A", "B"]
         assert packets[0].nmea == SENTENCE
         assert packets[1].nmea == SENTENCE.replace(",A,", ",B,").replace("*7D", "*7E")
@@ -300,3 +304,46 @@ class TestCheckpointResume:
             },
         )
         assert SENTENCE in out.stdout, (out.stdout, out.stderr[-1500:])
+
+
+class TestPpmCorrection:
+    """-e ppm handling: the reference tunes hardware to
+    162.0e6*(1+ppm*1e-6) (python/radio.py:160); for soft sources the
+    channelizer offsets absorb the equivalent shift."""
+
+    def test_offset_math(self):
+        from ais_tpu.pipeline.radio import ppm_offset_hz
+
+        assert ppm_offset_hz(0.0) == 0.0
+        assert abs(ppm_offset_hz(50.0) - 8100.0) < 1e-6
+        assert abs(ppm_offset_hz(-10.0) + 1620.0) < 1e-6
+
+    def _capture_with_ppm(self, ppm):
+        # A device with +ppm LO error commanded to 162.0 MHz records a
+        # capture whose true center is 162.0e6*(1-ppm*1e-6): channel A
+        # (161.975 MHz) appears at -25 kHz + 162e6*ppm*1e-6.
+        fs = 240e3
+        raw = aivdm_payload_to_bytes(PAYLOAD)
+        burst = make_packet_iq(raw, samples_per_symbol=25)
+        t = np.arange(burst.size) / fs
+        appear_hz = -25e3 + 162.0e6 * ppm * 1e-6
+        iq = _noise(int(fs), scale=0.005)
+        iq[20000 : 20000 + burst.size] += (
+            burst * np.exp(2j * np.pi * appear_hz * t)
+        ).astype(np.complex64)
+        return iq
+
+    def test_ppm_shifts_recovered_carrier(self):
+        ppm = 50.0
+        iq = self._capture_with_ppm(ppm)
+        corrected = AisRadio(sample_rate=240e3, ppm=ppm)
+        got = corrected.process(iq) + corrected.flush()
+        assert [p.nmea for p in got] == [SENTENCE]
+        # With the offsets corrected, the AFC sees ~no residual carrier.
+        assert abs(got[0].freq_est_hz) < 400
+
+        uncorrected = AisRadio(sample_rate=240e3, ppm=0.0)
+        got0 = uncorrected.process(iq) + uncorrected.flush()
+        if got0:  # the AFC may still pull in an 8.1 kHz offset...
+            # ...but the recovered carrier must show the full shift.
+            assert abs(got0[0].freq_est_hz - 8100.0) < 400
