@@ -80,6 +80,11 @@ class DemodConfig:
     #     per-burst lax.scan; much slower to compile/run on TPU.
     timing_mode: str = "feedforward"
     ff_seg_len: int = 256          # feedforward tone-phase segment length
+    # Feedforward symbol-extraction formulation: "auto" uses the
+    # gather-free FFT comb on non-CPU backends and the drift-tracking
+    # interpolator bank on CPU; "fft"/"bank" force one (for testing the
+    # TPU formulation anywhere).
+    ff_path: str = "auto"
     # Bit decision path:
     #   "discriminator" — quadrature demod + slicer, the reference chain
     #     (python/ais_demod.py:48-52).

@@ -203,6 +203,7 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
                         n_sym,
                         bt=cfg.gmsk_bt,
                         seg_len=cfg.ff_seg_len,
+                        path=cfg.ff_path,
                     )
                 )(bursts)
             else:  # pll

@@ -235,15 +235,22 @@ def feedforward_symbols(
     bt: float = 0.4,
     seg_len: int = 256,
     min_weight_frac: float = 0.25,
+    path: str = "auto",
 ):
     """Recover `n_symbols` symbol-rate samples from one burst window.
 
     Returns (symbols complex64 (n_symbols,), valid bool (n_symbols,)).
     Drop-in replacement for the PLL's outputs (same downstream demod).
-    On non-CPU backends dispatches to the gather-free FFT formulation
-    when sps is integral (see feedforward_symbols_fft).
+    `path`: "auto" picks the gather-free FFT formulation on non-CPU
+    backends when sps is integral (see feedforward_symbols_fft), the
+    drift-tracking bank interpolation otherwise; "fft"/"bank" force one.
     """
-    if jax.default_backend() != "cpu" and abs(sps - round(sps)) < 1e-9:
+    use_fft = {
+        "auto": jax.default_backend() != "cpu",
+        "fft": True,
+        "bank": False,
+    }[path]
+    if use_fft and abs(sps - round(sps)) < 1e-9:
         return feedforward_symbols_fft(
             burst, sps, n_symbols, bt=bt, seg_len=seg_len,
             min_weight_frac=min_weight_frac,

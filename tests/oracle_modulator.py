@@ -1,0 +1,214 @@
+"""Independent AIS waveform oracle — shares NO code with ais_tpu.
+
+Round-1 gap (VERDICT item 2): every golden capture was synthesized by
+`ais_tpu.tx`, the package under test, so a shared tx/rx convention error
+(NRZI polarity, preamble alignment, bit order, pulse normalization)
+would cancel and never be caught.  This module re-derives the entire
+transmit chain from the published specifications with deliberately
+different formulations:
+
+  - CRC-16/X.25: table-driven (ais_tpu.decode.crc is bitwise);
+  - HDLC framing per ITU-T Q.921 / ITU-R M.1371: LSB-first octets,
+    CRC complemented and appended little-endian, 5-ones bit stuffing,
+    0x7E flags, 24-bit 0101... training sequence;
+  - NRZI (ITU-R M.1371 §3.2.3.4): a data 0 toggles the line level, a
+    data 1 holds it;
+  - GMSK (BT=0.4, h=1/2): the *closed-form* continuous-time frequency
+    pulse from the GSM 05.04 formulation,
+
+        g(t) = 1/(2T) [ Q(2*pi*B (t - T/2)/sqrt(ln 2))
+                      - Q(2*pi*B (t + T/2)/sqrt(ln 2)) ],
+
+    evaluated with scipy's erfc and integrated to the phase ramp —
+    ais_tpu.tx.gmsk instead builds discrete Gaussian taps convolved with
+    a rectangular window.  The two derivations agree only if both are
+    *correct* GMSK.
+
+Also provides an independent AIVDM payload-string -> bytes conversion
+(6-bit de-armoring) so tests never call ais_tpu.tx helpers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import erfc
+
+
+# --- CRC-16/X.25 (poly 0x1021 reflected = 0x8408), table-driven ----------
+
+def _crc_table() -> np.ndarray:
+    table = np.zeros(256, dtype=np.uint16)
+    for byte in range(256):
+        crc = byte
+        for _ in range(8):
+            crc = (crc >> 1) ^ 0x8408 if crc & 1 else crc >> 1
+        table[byte] = crc
+    return table
+
+
+_CRC_TABLE = _crc_table()
+
+
+def crc16_x25(data: bytes) -> int:
+    crc = 0xFFFF
+    for b in data:
+        crc = (crc >> 8) ^ int(_CRC_TABLE[(crc ^ b) & 0xFF])
+    return crc ^ 0xFFFF
+
+
+# --- AIVDM payload string -> bytes (6-bit de-armoring) --------------------
+
+def aivdm_chars_to_bytes(payload: str, fill_bits: int = 0) -> bytes:
+    """ITU-R M.1371 / NMEA armoring inverse: chars -> 6-bit groups ->
+    MSB-first packed bytes."""
+    bits: list[int] = []
+    for ch in payload:
+        v = ord(ch) - 48
+        if v > 40:
+            v -= 8
+        bits.extend((v >> k) & 1 for k in range(5, -1, -1))
+    if fill_bits:
+        bits = bits[:-fill_bits]
+    assert len(bits) % 8 == 0, "AIS payloads are whole octets"
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        out.append(int("".join(map(str, bits[i : i + 8])), 2))
+    return bytes(out)
+
+
+# --- HDLC frame construction (ITU-T Q.921 subset used by AIS) -------------
+
+def hdlc_bits(payload: bytes) -> np.ndarray:
+    """Payload -> stuffed bit vector: flag + stuffed(data+fcs) + flag.
+
+    Octets transmit LSB first; the FCS is the complemented X.25 CRC of
+    the payload, appended little-endian, and is stuffed along with the
+    data (the flags are not).
+    """
+    fcs = crc16_x25(payload)
+    octets = list(payload) + [fcs & 0xFF, (fcs >> 8) & 0xFF]
+    raw = []
+    for octet in octets:
+        raw.extend((octet >> k) & 1 for k in range(8))  # LSB first
+    stuffed = []
+    ones = 0
+    for b in raw:
+        stuffed.append(b)
+        if b == 1:
+            ones += 1
+            if ones == 5:
+                stuffed.append(0)
+                ones = 0
+        else:
+            ones = 0
+    flag = [0, 1, 1, 1, 1, 1, 1, 0]
+    return np.array(flag + stuffed + flag, dtype=np.uint8)
+
+
+def ais_packet_bits(payload: bytes, trailing: int = 24) -> np.ndarray:
+    """Training sequence + HDLC frame + buffer bits (ITU-R M.1371
+    §3.2.2: 24-bit 0101... preamble, start flag, data, FCS, end flag)."""
+    training = np.tile(np.array([0, 1], dtype=np.uint8), 12)
+    buf = np.zeros(trailing, dtype=np.uint8)
+    return np.concatenate([training, hdlc_bits(payload), buf])
+
+
+def nrzi_encode(bits: np.ndarray, initial: int = 1) -> np.ndarray:
+    """ITU-R M.1371 §3.2.3.4: a 0 changes the level, a 1 holds it."""
+    levels = np.zeros(bits.size, dtype=np.int8)
+    level = initial
+    for i, b in enumerate(bits):
+        if b == 0:
+            level ^= 1
+        levels[i] = level
+    return levels
+
+
+# --- GMSK modulator (closed-form Gaussian frequency pulse) ----------------
+
+def _gmsk_freq_pulse(t: np.ndarray, bt: float) -> np.ndarray:
+    """g(t) in symbol-time units (T = 1): the GSM 05.04 closed form via
+    the Gaussian Q function, Q(x) = erfc(x / sqrt(2)) / 2."""
+    c = 2.0 * np.pi * bt / np.sqrt(np.log(2.0))
+
+    def qfun(x):
+        return 0.5 * erfc(x / np.sqrt(2.0))
+
+    return 0.5 * (qfun(c * (t - 0.5)) - qfun(c * (t + 0.5)))
+
+
+def gmsk_modulate(levels: np.ndarray, sps: int, bt: float = 0.4) -> np.ndarray:
+    """NRZI line levels {0,1} -> complex GMSK baseband at `sps`.
+
+    Symbols a_k = 2*level - 1; instantaneous frequency
+    f(t) = (Rb/4) * sum_k a_k g(t - kT) (modulation index h = 1/2);
+    phase is the running integral.  The pulse is evaluated over +-L/2
+    symbols (L=6 covers >99.999% of the pulse energy at BT=0.4).
+    """
+    a = 2.0 * np.asarray(levels, dtype=np.float64) - 1.0
+    L = 6
+    n_sym = a.size
+    n = (n_sym + L) * sps
+    t = (np.arange(n) - (L // 2) * sps) / float(sps)  # symbol units
+    freq = np.zeros(n, dtype=np.float64)
+    for k in range(n_sym):
+        freq += a[k] * _gmsk_freq_pulse(t - k - 0.5, bt)
+    # h = 1/2: each symbol advances phase by a_k * pi/2 in total
+    # (integral of g over all time = 1/2... times 2*pi*h gives pi/2).
+    phase = np.cumsum(freq) * (np.pi / sps)
+    x = np.exp(1j * phase).astype(np.complex64)
+    # Trim the leading pulse tail so sample 0 aligns with symbol 0's
+    # center region (same convention as a causal modulator's group
+    # delay): keep exactly n_sym * sps samples starting at the first
+    # symbol boundary.
+    start = (L // 2) * sps
+    return x[start : start + n_sym * sps]
+
+
+def make_oracle_packet(
+    payload: bytes, sps: int = 5, bt: float = 0.4, trailing: int = 24
+) -> np.ndarray:
+    """Complete independent AIS transmission: payload -> IQ at sps."""
+    bits = ais_packet_bits(payload, trailing=trailing)
+    levels = nrzi_encode(bits)
+    return gmsk_modulate(levels, sps, bt)
+
+
+# --- Channel impairments ---------------------------------------------------
+
+def apply_cfo(x: np.ndarray, f_hz: float, fs: float) -> np.ndarray:
+    n = np.arange(x.size)
+    return (x * np.exp(2j * np.pi * f_hz * n / fs)).astype(np.complex64)
+
+
+def apply_clock_offset(x: np.ndarray, ppm: float) -> np.ndarray:
+    """Resample by (1 + ppm*1e-6) via cubic interpolation (an independent
+    method from the package's polyphase resampler)."""
+    n = x.size
+    pos = np.arange(int(n / (1 + ppm * 1e-6)) - 2) * (1 + ppm * 1e-6)
+    from scipy.interpolate import CubicSpline
+
+    cs_r = CubicSpline(np.arange(n), x.real)
+    cs_i = CubicSpline(np.arange(n), x.imag)
+    return (cs_r(pos) + 1j * cs_i(pos)).astype(np.complex64)
+
+
+def apply_multipath(x: np.ndarray, delay: int, gain: complex) -> np.ndarray:
+    y = x.astype(np.complex64).copy()
+    y[delay:] += (gain * x[:-delay]).astype(np.complex64)
+    return y
+
+
+def awgn(x: np.ndarray, ebn0_db: float, sps: int, rng) -> np.ndarray:
+    """Add complex AWGN for a target Eb/N0 given unit-envelope GMSK.
+
+    Es = |x|^2 * T = sps (per symbol, unit amplitude); Eb = Es (1 bit per
+    symbol).  N0 = Eb / 10^(EbN0/10); per-sample complex noise variance
+    sigma^2 = N0 (two-sided, complex baseband at 1 sample spacing).
+    """
+    ebn0 = 10.0 ** (ebn0_db / 10.0)
+    sigma = np.sqrt(sps / ebn0 / 2.0)
+    noise = sigma * (
+        rng.standard_normal(x.size) + 1j * rng.standard_normal(x.size)
+    )
+    return (x + noise).astype(np.complex64)
