@@ -68,7 +68,16 @@ class DistributedBlockDecoder:
 
     def decode_blocks(self, blocks: np.ndarray):
         """(n_blocks, block_len) -> BurstRecords; n_blocks must divide
-        evenly over the mesh (pad with zero blocks if needed)."""
+        evenly over the mesh (pad with zero blocks if needed).
+
+        Multi-process (after `init_distributed`): every process passes
+        the same global `blocks` array; each supplies only its local
+        shard to the device mesh (`make_array_from_callback` reads just
+        the addressable indices), the jitted program runs with zero
+        collectives, and the small per-block record tensors are
+        all-gathered back to every host over DCN — the only cross-host
+        traffic, a few KB per second of signal.
+        """
         n = blocks.shape[0]
         pad = (-n) % self.n_devices
         if pad:
@@ -80,7 +89,22 @@ class DistributedBlockDecoder:
         sharding = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec("time")
         )
-        xs = jax.device_put(to_planes(blocks), sharding)
+        planes = to_planes(blocks)
+        if jax.process_count() > 1:
+            xs = jax.make_array_from_callback(
+                planes.shape, sharding, lambda idx: planes[idx]
+            )
+            rec = self._fn(xs)
+            from jax.experimental import multihost_utils
+
+            rec = jax.tree.map(
+                lambda a: np.asarray(
+                    multihost_utils.process_allgather(a, tiled=True)
+                ),
+                rec,
+            )
+            return rec, n
+        xs = jax.device_put(planes, sharding)
         return self._fn(xs), n  # caller slices records back to n blocks
 
     def decode_stream(self, iq: np.ndarray, designator: str = "A"):
