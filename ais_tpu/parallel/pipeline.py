@@ -17,6 +17,7 @@ BASELINE.json's multi-stream batch).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
@@ -42,6 +43,64 @@ def make_sharded_demod(
         out_specs=P(time_axis),
     )
     return jax.jit(fn)
+
+
+def make_halo_exchange_demod(
+    cfg: DemodConfig,
+    block_len: int,
+    core_len: int,
+    mesh: jax.sharding.Mesh,
+    n_blocks: int,
+    time_axis: str = "time",
+):
+    """Sharded demod over HALO-FREE framing: `(n_blocks, core_len)` disjoint
+    cores in, halos exchanged between neighbor shards with `ppermute`
+    inside the jitted program.
+
+    The default path (`make_sharded_demod`) duplicates each block's halo
+    at framing time: simple, collective-free, but ships
+    `block_len / core_len` (~1.4x) more bytes to the devices and stores
+    the duplicates in HBM.  This variant feeds each device only its
+    disjoint core samples; each shard rebuilds its blocks from the local
+    contiguous stream plus ONE ring `ppermute` carrying the first `halo`
+    samples of the next shard (ICI traffic: halo/core ~ 3% of the
+    ingest).  The trailing shard's last block wraps to shard 0's head —
+    callers pad the stream tail with noise/zeros, which the overlap-save
+    ownership rule ignores anyway.
+
+    Returns a jitted fn: planes `(n_blocks, core_len, 2)` float32 ->
+    BurstRecords, bit-identical to the duplication path (tested in
+    test_parallel.py).
+    """
+    halo = block_len - core_len
+    if halo > core_len:
+        raise ValueError("halo exceeds core_len: one-neighbor exchange breaks")
+    n_shards = mesh.shape[time_axis]
+    if n_blocks % n_shards:
+        raise ValueError(f"n_blocks {n_blocks} not divisible by {n_shards}")
+    local = n_blocks // n_shards
+    demod = make_burst_demod(cfg, block_len, core_len)
+    perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+    def fn(planes):  # local shard: (local, core_len, 2)
+        from ais_tpu.ops.cplx import from_planes
+
+        flat = planes.reshape(local * core_len, 2)
+        head = flat[:halo]
+        # Ring exchange: every shard sends its stream head to the
+        # previous shard, which needs it as its last block's halo.
+        recv = jax.lax.ppermute(head, time_axis, perm)
+        ext = jnp.concatenate([flat, recv], axis=0)
+        idx = (
+            jnp.arange(local)[:, None] * core_len
+            + jnp.arange(block_len)[None, :]
+        )
+        return demod(from_planes(ext[idx]))  # (local, block_len) complex
+
+    sharded = shard_map(
+        fn, mesh=mesh, in_specs=P(time_axis), out_specs=P(time_axis)
+    )
+    return jax.jit(sharded)
 
 
 def make_sharded_stream_demod(

@@ -79,6 +79,116 @@ class PacketDeduper:
         return True
 
 
+def _deframe_burst(burst_bits: np.ndarray, deframer: DeframerConfig):
+    """Deframe one burst's valid bits -> [(payload, start_bit)].
+
+    Dispatches to the native C++ HDLC kernel (native/ais_native.cpp)
+    when the library is available — the host back half runs concurrently
+    with the next device step, so its speed sets the pipeline's floor —
+    falling back to the pure-numpy `decode.hdlc.deframe` (the two are
+    cross-checked bit-for-bit in tests/test_native.py).
+    """
+    from ais_tpu import native
+
+    if native.available():
+        return native.hdlc_deframe(
+            burst_bits, deframer.min_length_bytes, deframer.max_length_bytes
+        )
+    return [
+        (fr.payload, fr.start_bit)
+        for fr in deframe(
+            burst_bits, deframer.min_length_bytes, deframer.max_length_bytes
+        )
+    ]
+
+
+def _emit_packets(
+    frames,
+    win_start: int,
+    block_start_sample: int,
+    mag: float,
+    freq_hz: float,
+    designator: str,
+    deduper: PacketDeduper | None,
+    samples_per_symbol: float,
+    out: list,
+) -> None:
+    """Anchor each frame to its own preamble and dedup-admit it.
+
+    A burst window spans several packet lengths, so frames past the
+    first belong to *later* transmissions — position them by their flag
+    bit within the extraction window (bit b sits near win_start + b*sps;
+    the opening flag follows the 24-bit training sequence)."""
+    for payload, start_bit in frames:
+        anchor = win_start + int(
+            round((start_bit - PREAMBLE_BITS) * samples_per_symbol)
+        )
+        packet = DecodedPacket(
+            payload=payload,
+            abs_sample=block_start_sample + anchor,
+            designator=designator,
+            corr_mag=mag,
+            freq_est_hz=freq_hz,
+        )
+        if deduper is None or deduper.admit(packet):
+            out.append(packet)
+
+
+def decode_wire_records(
+    wire,
+    n_sym: int,
+    chan_start: int,
+    core_len: int,
+    designators=("A", "B"),
+    dedupers=None,
+    deframer: DeframerConfig = DeframerConfig(),
+    samples_per_symbol: float = 5.0,
+) -> list:
+    """Decode a WireRecords fetch (pipeline/wideband.py) into packets.
+
+    The packed bit planes are unpacked for ALL (channel, block, burst)
+    lanes in one vectorized `np.unpackbits`; only valid bursts then pay
+    the per-burst deframe."""
+    meta_i = np.asarray(wire.meta_i)  # (C, B, K, 4)
+    meta_f = np.asarray(wire.meta_f)
+    packed = np.asarray(wire.packed)  # (C, B, K, 2, n_pack)
+    C, B, K, _ = meta_i.shape
+    planes = np.unpackbits(packed, axis=-1)[..., :n_sym]  # (C,B,K,2,n_sym)
+    log = logging.getLogger("ais_tpu")
+    packets: list[DecodedPacket] = []
+    for c in range(C):
+        deduper = dedupers[c] if dedupers is not None else None
+        for b in range(B):
+            block_start = chan_start + b * core_len
+            n_detected = int(meta_i[c, b, 0, 3])
+            if n_detected > K:
+                log.warning(
+                    "burst table overflow: %d peaks detected in block at "
+                    "sample %d but max_bursts_per_block=%d — raise "
+                    "DemodConfig.max_bursts_per_block",
+                    n_detected,
+                    block_start,
+                    K,
+                )
+            for k in np.nonzero(meta_i[c, b, :, 2])[0]:
+                row = planes[c, b, k]
+                burst_bits = row[0][row[1].astype(bool)]
+                frames = _deframe_burst(burst_bits, deframer)
+                _emit_packets(
+                    frames,
+                    int(meta_i[c, b, k, 1]),
+                    block_start,
+                    float(meta_f[c, b, k, 0]),
+                    float(meta_f[c, b, k, 1]),
+                    designators[c],
+                    deduper,
+                    samples_per_symbol,
+                    packets,
+                )
+    packets.sort(key=lambda p: p.abs_sample)
+    return packets
+
+
 def decode_block_records(
     records,
     block_start_sample: int,
@@ -110,32 +220,22 @@ def decode_block_records(
     packets: list[DecodedPacket] = []
     for k in np.nonzero(valid)[0]:
         burst_bits = bits[k][bit_valid[k]]
-        frames = deframe(
-            burst_bits, deframer.min_length_bytes, deframer.max_length_bytes
-        )
+        frames = _deframe_burst(burst_bits, deframer)
         chunk = min(int(positions[k]) // fftlen, freq_est.size - 1) if freq_est.size else 0
         win_start = (
             int(np.asarray(records.win_start)[k])
             if hasattr(records, "win_start")
             else int(positions[k])
         )
-        for fr in frames:
-            # Anchor the packet to its own preamble start: a burst window
-            # spans several packet lengths, so frames past the first
-            # belong to *later* transmissions — position them by their
-            # flag bit within the extraction window, not by the window's
-            # detection peak.  Bit b sits near win_start + b*sps; the
-            # opening flag follows the 24-bit training sequence.
-            anchor = win_start + int(
-                round((fr.start_bit - PREAMBLE_BITS) * samples_per_symbol)
-            )
-            packet = DecodedPacket(
-                payload=fr.payload,
-                abs_sample=block_start_sample + anchor,
-                designator=designator,
-                corr_mag=float(mags[k]),
-                freq_est_hz=float(freq_est[chunk]) if freq_est.size else 0.0,
-            )
-            if deduper is None or deduper.admit(packet):
-                packets.append(packet)
+        _emit_packets(
+            frames,
+            win_start,
+            block_start_sample,
+            float(mags[k]),
+            float(freq_est[chunk]) if freq_est.size else 0.0,
+            designator,
+            deduper,
+            samples_per_symbol,
+            packets,
+        )
     return packets

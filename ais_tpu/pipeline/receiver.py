@@ -64,6 +64,18 @@ def required_halo(cfg: DemodConfig) -> int:
     return cfg.burst_len + max(cfg.agc_window, preamble_len) + 16
 
 
+BURST_GRID = 512  # extraction-window start lattice (samples)
+
+
+def burst_table_geometry(cfg: DemodConfig) -> tuple[int, int]:
+    """(win_len, n_symbols) of the per-burst extraction table — the static
+    shape of `BurstRecords.bits` rows.  Host-side consumers (the compact
+    wire-record unpacker) need n_symbols because the packed bit planes
+    round it up to whole bytes."""
+    win_len = cfg.burst_len + BURST_GRID
+    return win_len, int((win_len - 16) // cfg.samples_per_symbol)
+
+
 def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
     """Build the jittable block demodulator.
 
@@ -89,11 +101,10 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
     sps_int = int(round(cfg.samples_per_symbol))
     wf = preamble_waveform(sps_int, cfg.gmsk_bt)
     thresh = autocorr_threshold(wf, cfg.corr_threshold)
-    burst_grid = 512
+    burst_grid = BURST_GRID
     if block_len % burst_grid != 0:
         raise ValueError(f"block_len {block_len} not a multiple of {burst_grid}")
-    win_len = cfg.burst_len + burst_grid
-    n_sym = int((win_len - 16) // cfg.samples_per_symbol)
+    win_len, n_sym = burst_table_geometry(cfg)
     fs = cfg.sample_rate
 
     def demod(x: jax.Array) -> BurstRecords:

@@ -26,7 +26,12 @@ from ais_tpu.core.params import AIS_BIT_RATE, DemodConfig
 from ais_tpu.ops.firdes import low_pass
 from ais_tpu.ops.fir import freq_xlating_fir_decimate, mixer_phase
 from ais_tpu.ops.framing import frame_overlap
-from ais_tpu.pipeline.receiver import BurstRecords, make_burst_demod, required_halo
+from ais_tpu.pipeline.receiver import (
+    BurstRecords,
+    burst_table_geometry,
+    make_burst_demod,
+    required_halo,
+)
 
 
 class WidebandConfig(NamedTuple):
@@ -51,6 +56,66 @@ class WidebandConfig(NamedTuple):
     @property
     def core_len(self) -> int:
         return self.block_len - required_halo(self.demod)
+
+
+class WireRecords(NamedTuple):
+    """Compact device->host record layout for the wire (streaming) path.
+
+    `BurstRecords` is the right on-device working set but a poor d2h
+    payload on the tunnel backend: ten leaves (ten high-latency
+    transfers) of which two are `(C, B, K, n_sym)` byte planes — ~2.5 MB
+    per call at full burst capacity.  WireRecords coalesces everything
+    the host back half consumes into THREE dense tensors and packs the
+    bit planes 8x (MSB-first, `np.unpackbits`-compatible), cutting the
+    fetch to ~0.2 MB and three round trips.  The AFC chunk estimate is
+    resolved to a per-burst frequency on device (the same one-hot lookup
+    the demodulator applies), so the host never needs the chunk table.
+    """
+
+    meta_i: jax.Array  # (C, B, K, 4) i32: position, win_start, valid,
+                       #   n_detected (broadcast per block)
+    meta_f: jax.Array  # (C, B, K, 2) f32: corr mag^2, freq_est_hz
+    packed: jax.Array  # (C, B, K, 2, ceil(n_sym/8)) u8: [0] bits,
+                       #   [1] bit_valid, MSB-first within each byte
+
+
+def pack_wire_records(rec: BurstRecords, fftlen: int) -> WireRecords:
+    """Device-side compaction of BurstRecords (leading dims preserved)."""
+    n_sym = rec.bits.shape[-1]
+    n_pack = -(-n_sym // 8)
+    pad = n_pack * 8 - n_sym
+    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+
+    def pack(plane):
+        x = plane.astype(jnp.int32)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((*x.shape[:-1], pad), jnp.int32)], axis=-1
+            )
+        x = x.reshape(*x.shape[:-1], n_pack, 8)
+        # Minor-axis (len 8) weighted reduce: backend-safe (ARCH §4).
+        return jnp.sum(x * weights, axis=-1).astype(jnp.uint8)
+
+    packed = jnp.stack([pack(rec.bits), pack(rec.bit_valid)], axis=-2)
+    n_chunks = rec.freq_est.shape[-1]
+    chunk = jnp.clip(rec.position // fftlen, 0, n_chunks - 1)  # (..., K)
+    onehot = (
+        chunk[..., None] == jnp.arange(n_chunks, dtype=jnp.int32)
+    ).astype(jnp.float32)
+    freq = jnp.sum(onehot * rec.freq_est[..., None, :], axis=-1)
+    meta_i = jnp.stack(
+        [
+            rec.position,
+            rec.win_start,
+            rec.valid.astype(jnp.int32),
+            jnp.broadcast_to(rec.n_detected[..., None], rec.position.shape).astype(
+                jnp.int32
+            ),
+        ],
+        axis=-1,
+    )
+    meta_f = jnp.stack([rec.mag, freq], axis=-1)
+    return WireRecords(meta_i, meta_f, packed)
 
 
 def make_wideband_fns(cfg: WidebandConfig, n_in: int):
@@ -190,16 +255,35 @@ class WidebandReceiver:
             PacketDeduper() for _ in cfg.offsets_hz
         ]
 
-    def decode_wire(self, raw_u8: np.ndarray, fmt: str = "ci8"):
-        """Decode one n_in-sample step fed as integer wire bytes.
+    # -- wire-format (integer IQ) path ---------------------------------------
+    #
+    # Stream contract: each submit/decode_wire call covers exactly n_in
+    # raw samples but ADVANCES the stream by only step_raw (< n_in): the
+    # final n_in - step_raw samples are the overlap-save halo and MUST be
+    # re-presented at the start of the next call's buffer (`wire_overlap`
+    # bytes).  Feeding back-to-back non-overlapping buffers silently
+    # skips the halo region and breaks mixer phase continuity — use
+    # `process()`/`decode()`, which buffer internally, when the source
+    # cannot re-present.
+
+    @property
+    def wire_overlap_samples(self) -> int:
+        """Raw samples each wire call must re-present from the previous
+        call (the framing halo at input rate)."""
+        return self.n_in - self.step_raw
+
+    def submit_wire(self, raw_u8: np.ndarray, fmt: str = "ci8"):
+        """Enqueue one n_in-sample wire step; returns a handle for
+        `collect()`.
 
         SDRs emit int8/int16 IQ; shipping those bytes and converting on
         device (ops/convert.py) cuts host->device traffic 4x/2x vs
         complex64 planes — the binding constraint for sustained
-        throughput on bandwidth-limited ingest links.
+        throughput on bandwidth-limited ingest links.  Submitting step
+        N+1 before collecting step N double-buffers the pipeline: the
+        h2d transfer and device compute of N+1 overlap the d2h record
+        fetch and host deframing of N.
         """
-        import jax as _jax
-
         from ais_tpu.ops.convert import iq_from_bytes_ci8, iq_from_bytes_ci16
 
         conv = {"ci8": iq_from_bytes_ci8, "ci16": iq_from_bytes_ci16}[fmt]
@@ -212,26 +296,59 @@ class WidebandReceiver:
             self._wire_fns = {}
         if fmt not in self._wire_fns:
             chan, demod = make_wideband_fns(self.cfg, self.n_in)
+            fftlen = self.cfg.demod.fftlen
 
             def fn(raw, ph, car, hf):
-                return demod(chan(conv(raw), ph, car, hf))
+                return pack_wire_records(demod(chan(conv(raw), ph, car, hf)), fftlen)
 
             self._wire_fns[fmt] = jax.jit(fn)
         phase0s = np.stack(
             [mixer_phase(off, self.cfg.input_rate, self._pos) for off in self.cfg.offsets_hz]
         )
+        # device_put starts the (async) transfer immediately; the jitted
+        # call dispatches without blocking, so the handle is a future.
         rec = self._wire_fns[fmt](
-            jnp.asarray(raw_u8), jnp.asarray(phase0s), self._carriers, self._hf
+            jax.device_put(raw_u8), jnp.asarray(phase0s), self._carriers, self._hf
         )
         chan_start = self._pos // self.cfg.decimation
         self._pos += self.step_raw
+        return (rec, chan_start)
+
+    def collect(self, handle):
+        """Block on a submit_wire handle and host-decode its packets."""
+        rec, chan_start = handle
+        rec_np = jax.tree.map(np.asarray, rec)
+        from ais_tpu.pipeline.host import decode_wire_records
+
+        import dataclasses
+
+        demod_cfg = dataclasses.replace(
+            self.cfg.demod, samples_per_symbol=self.cfg.sps
+        )
+        _, n_sym = burst_table_geometry(demod_cfg)
+        return decode_wire_records(
+            rec_np,
+            n_sym,
+            chan_start,
+            self.core_len,
+            designators=self.cfg.designators,
+            dedupers=self._dedupers,
+            samples_per_symbol=self.cfg.sps,
+        )
+
+    def decode_wire(self, raw_u8: np.ndarray, fmt: str = "ci8"):
+        """Decode one n_in-sample step fed as integer wire bytes
+        (submit + collect; see the stream contract above)."""
+        return self.collect(self.submit_wire(raw_u8, fmt))
+
+    def _host_decode(self, rec_np, chan_start: int):
+        """Shared per-(channel, block) deframe loop (host back half)."""
         from ais_tpu.pipeline.host import decode_block_records
 
-        rec_np = _jax.tree.map(np.asarray, rec)
         packets = []
         for c in range(self.n_chan):
             for b in range(self.n_blocks):
-                r = _jax.tree.map(lambda a: a[c, b], rec_np)
+                r = jax.tree.map(lambda a: a[c, b], rec_np)
                 packets.extend(
                     decode_block_records(
                         r,
@@ -293,24 +410,9 @@ class WidebandReceiver:
 
     def decode(self, iq: np.ndarray):
         """Feed raw samples, return host-decoded packets from full steps."""
-        import jax as _jax
-
-        from ais_tpu.pipeline.host import decode_block_records
-
         packets = []
         for rec, chan_start in self.process(iq):
-            rec_np = _jax.tree.map(np.asarray, rec)
-            for c in range(self.n_chan):
-                for b in range(self.n_blocks):
-                    r = _jax.tree.map(lambda a: a[c, b], rec_np)
-                    packets.extend(
-                        decode_block_records(
-                            r,
-                            chan_start + b * self.core_len,
-                            designator=self.cfg.designators[c],
-                            deduper=self._dedupers[c],
-                            fftlen=self.cfg.demod.fftlen,
-                        )
-                    )
+            rec_np = jax.tree.map(np.asarray, rec)
+            packets.extend(self._host_decode(rec_np, chan_start))
         packets.sort(key=lambda p: p.abs_sample)
         return packets

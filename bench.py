@@ -1,11 +1,14 @@
 #!/usr/bin/env python
 """Headline benchmark: wideband dual-channel AIS decode on one TPU chip.
 
-Synthesizes a 2.4 Msps capture centered at 162.0 MHz with AIS bursts on
-both channels (BASELINE.json config 3), runs the fused
-channelize->AFC->AGC->correlate->timing->bits pipeline on device plus the
-host HDLC/NMEA back half, verifies packet parity against the transmitted
-set, and reports sustained input throughput.
+Synthesizes a 2.4 Msps capture centered at 162.0 MHz at FULL AIS channel
+load — every 26.67 ms TDMA slot on both channels carries a packet with a
+distinct payload (~75 packets/s across A+B) — runs the fused
+channelize->AFC->AGC->correlate->timing->bits pipeline on device with
+double-buffered int8 wire ingest (transfer/compute of step N+1 overlaps
+the record fetch + host HDLC/NMEA of step N), verifies CONTENT parity
+(payload bytes + channel + position, not just position proximity), and
+reports sustained input throughput.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -13,11 +16,12 @@ vs_baseline is against the reference's implied operating point —
 real-time decode of a 250 ksps capture (SURVEY.md section 6), i.e.
 0.25 Msamples/s.
 
-Robustness: the development TPU is reached through a tunnel backend with
-partial op support and an erratic remote-compile service (see
-ARCHITECTURE.md section 4).  The benchmark therefore runs the measurement
-in a subprocess per backend — TPU first with a hard timeout, CPU as the
-fallback — and reports which backend produced the number.
+The headline is the TPU chip's number (the metric is per-chip).  The CPU
+backend runs as a cross-check and is reported in detail; it becomes the
+headline only if the TPU is unreachable, and is then labeled
+"cpu-fallback".  Each backend runs in a subprocess: the tunnel TPU's
+remote-compile service can fail in ways that poison a process
+(ARCHITECTURE.md section 4).
 """
 
 from __future__ import annotations
@@ -29,7 +33,74 @@ import sys
 import time
 
 BASELINE_MSPS = 0.25  # gr-ais: 2 channels from one 250 ksps SDR, real time
-TPU_TIMEOUT_S = 1200
+TPU_TIMEOUT_S = 1500
+SLOT_SAMPLES_2P4M = 64000  # 26.67 ms AIS TDMA slot at 2.4 Msps
+
+
+def _scene(cfg, n_in, n_core):
+    """Full-load TDMA scene: distinct payloads in every slot, both channels.
+
+    Packets are confined to the call's core span `n_core` (= step_raw):
+    a packet starting in the trailing halo belongs to the NEXT stream
+    step by the overlap-save ownership rule and cannot be decoded by a
+    single call.
+    """
+    import numpy as np
+
+    from ais_tpu.tx import aivdm_payload_to_bytes
+    from ais_tpu.tx.scenario import Scenario, ScenarioPacket
+
+    base = bytearray(aivdm_payload_to_bytes("14eG;o@034o8sd<L9i:a;WF>062D"))
+    rng = np.random.default_rng(7)
+    packets = []
+    burst_len = 62500 + 2000  # ~231 bits at 250 sps + ramp margin
+    for ci, off in enumerate(cfg.offsets_hz):
+        slot0 = 3000 + ci * 17000  # de-phase the two channels' slot grids
+        k = 0
+        while slot0 + k * SLOT_SAMPLES_2P4M + burst_len < n_core:
+            p = bytearray(base)
+            # Distinct payload per packet: vary MMSI-ish bytes.
+            p[1] = (k * 7 + ci) % 256
+            p[2] = (k * 131) % 256
+            p[3] = (k >> 8) % 256
+            packets.append(
+                ScenarioPacket(
+                    payload=bytes(p),
+                    start_sample=slot0 + k * SLOT_SAMPLES_2P4M,
+                    offset_hz=float(off),
+                    phase=float(rng.uniform(0, 2 * np.pi)),
+                    extra_freq_hz=float(rng.uniform(-200, 200)),
+                )
+            )
+            k += 1
+    iq = Scenario(
+        sample_rate=cfg.input_rate, n_samples=n_in, packets=packets, noise=0.004
+    ).build()
+    return iq, packets
+
+
+def _content_parity(found, tx_packets, decim):
+    """Fraction of transmitted packets decoded with exact payload bytes on
+    the right channel near the right position."""
+    chan_of = {-25e3: "A", 25e3: "B"}
+    remaining = list(found)
+    matched = 0
+    for tp in tx_packets:
+        want_pos = tp.start_sample // decim
+        want_chan = chan_of.get(tp.offset_hz, "A")
+        hit = None
+        for i, fp in enumerate(remaining):
+            if (
+                fp.payload == tp.payload
+                and fp.designator == want_chan
+                and abs(fp.abs_sample - want_pos) < 300
+            ):
+                hit = i
+                break
+        if hit is not None:
+            matched += 1
+            remaining.pop(hit)
+    return matched / max(len(tx_packets), 1)
 
 
 def measure(backend: str) -> dict:
@@ -40,13 +111,12 @@ def measure(backend: str) -> dict:
 
     import numpy as np
 
+    from ais_tpu.ops.convert import host_bytes
     from ais_tpu.pipeline.wideband import (
         WidebandConfig,
         WidebandReceiver,
         num_taps,
     )
-    from ais_tpu.tx import aivdm_payload_to_bytes
-    from ais_tpu.tx.scenario import Scenario, spread_packets
 
     cfg = WidebandConfig()
     # ~16 demod blocks per device call (~4 s of air time per call).
@@ -55,34 +125,31 @@ def measure(backend: str) -> dict:
     rx = WidebandReceiver(cfg, n_in=n_in)
     n_in = rx.n_in  # decim-aligned
 
-    payload = aivdm_payload_to_bytes("14eG;o@034o8sd<L9i:a;WF>062D")
-    n_pkts = 12
-    packets = spread_packets([payload] * n_pkts, n_in, cfg.input_rate)
-    iq = Scenario(
-        sample_rate=cfg.input_rate, n_samples=n_in, packets=packets, noise=0.004
-    ).build()
-    # Feed the SDR wire format (int8 interleaved IQ, converted on device):
-    # this is what radios emit, and it is 4x less ingest traffic than
-    # complex64 — the binding constraint on bandwidth-limited links.
-    from ais_tpu.ops.convert import host_bytes
-
+    iq, tx_packets = _scene(cfg, n_in, rx.step_raw)
     wire = host_bytes((iq * 0.7).astype("complex64"), "ci8")
 
-    # Warm-up: compile + correctness check (packet parity).
+    # Warm-up: compile + content-parity check.
     t0 = time.time()
     found = rx.decode_wire(wire, "ci8")
     compile_s = time.time() - t0
-    expected = {p.start_sample // cfg.decimation for p in packets}
-    got = {p.abs_sample for p in found}
-    matched = sum(1 for e in expected if any(abs(e - g) < 300 for g in got))
-    parity = matched / max(len(expected), 1)
+    parity = _content_parity(found, tx_packets, cfg.decimation)
 
-    # Steady state: repeat the same capture as a continuing stream.
+    # Steady state: double-buffered pipeline over the same capture as a
+    # continuing stream (submit N+1 before collecting N).
     iters = 8
     t0 = time.time()
     total_pkts = 0
-    for _ in range(iters):
-        total_pkts += len(rx.decode_wire(wire, "ci8"))
+    host_s = 0.0
+    handle = rx.submit_wire(wire, "ci8")
+    for _ in range(iters - 1):
+        nxt = rx.submit_wire(wire, "ci8")
+        th = time.time()
+        total_pkts += len(rx.collect(handle))
+        host_s += time.time() - th
+        handle = nxt
+    th = time.time()
+    total_pkts += len(rx.collect(handle))
+    host_s += time.time() - th
     dt = time.time() - t0
     msps = n_in * iters / dt / 1e6
 
@@ -94,8 +161,10 @@ def measure(backend: str) -> dict:
         "detail": {
             "backend": str(jax.devices()[0]),
             "realtime_multiple_at_2p4Msps": round(msps / 2.4, 1),
-            "packet_parity_warmup": parity,
+            "packet_parity_warmup": round(parity, 4),
+            "tx_packets_per_call": len(tx_packets),
             "packets_per_sec": round(total_pkts / dt, 1),
+            "host_backhalf_frac": round(host_s / dt, 3),
             "compile_s": round(compile_s, 1),
             "n_in_per_call": n_in,
         },
@@ -114,48 +183,56 @@ def _inner(backend: str) -> int:
     return 0
 
 
+def _run_backend(backend: str, timeout: int):
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__), f"--backend={backend}"],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"{backend}: timeout after {timeout}s"
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        return None, f"{backend}: rc={proc.returncode} {proc.stderr[-200:]}"
+    payload = json.loads(lines[-1])
+    if "error" in payload:
+        return None, f"{backend}: {payload['error'][:200]}"
+    if payload.get("detail", {}).get("packet_parity_warmup", 0) < 0.98:
+        return None, (
+            f"{backend}: parity "
+            f"{payload['detail'].get('packet_parity_warmup')} < 0.98"
+        )
+    return payload, None
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1].startswith("--backend="):
         return _inner(sys.argv[1].split("=", 1)[1])
 
-    # Measure on both backends and report the better valid result: the
-    # tunnel TPU's per-call overheads currently vary with service health,
-    # so the benchmark takes whichever path is actually faster today.
-    attempts = [("cpu", 1200), ("tpu", TPU_TIMEOUT_S)]
-    results = []
+    # The metric is per-TPU-chip: the TPU measurement is the headline
+    # whenever it is valid; the CPU backend is a cross-check reported in
+    # detail (and the clearly-labeled fallback if the TPU is down).
     errors = []
-    for backend, timeout in attempts:
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-u", os.path.abspath(__file__), f"--backend={backend}"],
-                capture_output=True,
-                text=True,
-                timeout=timeout,
-            )
-        except subprocess.TimeoutExpired:
-            errors.append(f"{backend}: timeout after {timeout}s")
-            continue
-        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
-        if lines:
-            payload = json.loads(lines[-1])
-            if "error" not in payload and payload.get("detail", {}).get(
-                "packet_parity_warmup", 0
-            ) >= 0.9:
-                results.append(payload)
-            else:
-                errors.append(f"{backend}: {str(payload)[:200]}")
-        else:
-            errors.append(f"{backend}: rc={proc.returncode} {proc.stderr[-200:]}")
-    if results:
-        best = max(results, key=lambda r: r["value"])
+    tpu, err = _run_backend("tpu", TPU_TIMEOUT_S)
+    if err:
+        errors.append(err)
+    cpu, err = _run_backend("cpu", 1500)
+    if err:
+        errors.append(err)
+
+    if tpu is not None:
+        if cpu is not None:
+            tpu["detail"]["cpu_crosscheck_msps"] = cpu["value"]
         if errors:
-            best["detail"]["other_backend"] = "; ".join(errors)[:300]
-        elif len(results) > 1:
-            other = min(results, key=lambda r: r["value"])
-            best["detail"]["other_backend"] = (
-                f"{other['detail']['backend']}: {other['value']} Msps"
-            )
-        print(json.dumps(best))
+            tpu["detail"]["errors"] = "; ".join(errors)[:300]
+        print(json.dumps(tpu))
+        return 0
+    if cpu is not None:
+        cpu["detail"]["backend"] = f"cpu-fallback ({cpu['detail']['backend']})"
+        cpu["detail"]["errors"] = "; ".join(errors)[:300]
+        print(json.dumps(cpu))
         return 0
     print(
         json.dumps(

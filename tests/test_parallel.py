@@ -14,6 +14,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ais_tpu.core.params import DemodConfig
 from ais_tpu.parallel import (
+    make_halo_exchange_demod,
     make_sharded_demod,
     make_sharded_stream_demod,
     make_stream_time_mesh,
@@ -74,6 +75,52 @@ class TestTimeSharded:
         got = sorted(p.abs_sample for p in packets)
         assert len(got) == len(offsets)
         assert all(abs(g - o) < 100 for g, o in zip(got, offsets))
+        assert all(p.nmea == SENTENCE for p in packets)
+
+
+class TestHaloExchange:
+    def test_matches_duplication_path(self, eight_devices):
+        """The ppermute halo-exchange framing (disjoint cores in, halos
+        exchanged over the ring inside the program) must be bit-identical
+        to the framing-time halo-duplication path."""
+        halo = BLOCK - CORE
+        offsets = [6000, 30000, 55000, 80000, CORE * 7 - 2000]
+        n = CORE * 8
+        iq = _stream_with_packets(offsets, n)
+        # Zero the stream head: the ring wraps the final block's halo to
+        # shard 0's first `halo` samples, while the duplication path pads
+        # the stream tail with zeros — making the head zeros makes the
+        # two paths see identical data everywhere, so the comparison can
+        # demand bit-identity (the production stream framer arranges the
+        # same equivalence by right-aligning the tail pad).
+        iq[:halo] = 0
+
+        # Duplication path: halo'd blocks built on host.
+        blocks = frame_stream(iq, BLOCK, CORE)
+        mesh = make_time_mesh(8)
+        dup = make_sharded_demod(CFG, BLOCK, CORE, mesh)
+        xs = jax.device_put(blocks, NamedSharding(mesh, P("time")))
+        rec_dup = jax.tree.map(np.asarray, dup(xs))
+
+        # Exchange path: disjoint cores only, 1.4x less data shipped.
+        cores = iq.view(np.float32).reshape(8, CORE, 2)
+        exch = make_halo_exchange_demod(CFG, BLOCK, CORE, mesh, n_blocks=8)
+        cs = jax.device_put(np.ascontiguousarray(cores), NamedSharding(mesh, P("time")))
+        rec_ex = jax.tree.map(np.asarray, exch(cs))
+
+        np.testing.assert_array_equal(rec_ex.valid, rec_dup.valid)
+        np.testing.assert_array_equal(rec_ex.position, rec_dup.position)
+        np.testing.assert_array_equal(rec_ex.bits, rec_dup.bits)
+
+        from ais_tpu.pipeline.host import PacketDeduper
+
+        deduper = PacketDeduper()
+        packets = []
+        for b in range(8):
+            recs_b = jax.tree.map(lambda a: a[b], rec_ex)
+            packets.extend(decode_block_records(recs_b, b * CORE, deduper=deduper))
+        got = sorted(p.abs_sample for p in packets)
+        assert len(got) == len(offsets)
         assert all(p.nmea == SENTENCE for p in packets)
 
 

@@ -39,6 +39,78 @@ def test_geometry_alignment(receiver):
     assert receiver.step_raw <= receiver.n_in
 
 
+def _wire_receiver():
+    cfg = WidebandConfig()
+    n48 = cfg.block_len + cfg.core_len
+    return WidebandReceiver(cfg, n_in=(n48 - 1) * cfg.decimation + num_taps(cfg))
+
+
+def test_wire_path_matches_float_path():
+    """decode_wire (int8 ingest + on-device WireRecords compaction +
+    native host deframe) finds the same packets as the float path.
+
+    Both receivers must be FRESH: abs_sample is a stream position, so a
+    receiver whose _pos was advanced by an earlier test would offset the
+    float path's positions."""
+    from ais_tpu.ops.convert import host_bytes
+
+    flt = _wire_receiver()
+    raw = aivdm_payload_to_bytes(PAYLOAD)
+    iq = Scenario(
+        sample_rate=2.4e6,
+        n_samples=flt.n_in,
+        noise=0.004,
+        packets=[
+            ScenarioPacket(raw, 200000, -25e3, phase=0.7),
+            ScenarioPacket(raw, 700000, +25e3, amplitude=0.6, extra_freq_hz=140.0),
+        ],
+    ).build()
+    want = flt.decode(iq)
+    rx = _wire_receiver()
+    got = rx.decode_wire(host_bytes((iq * 0.7).astype(np.complex64), "ci8"), "ci8")
+    assert [(p.payload, p.designator) for p in got] == [
+        (p.payload, p.designator) for p in want
+    ]
+    # int8 quantization may move the correlation peak by a sample or two.
+    assert all(abs(g.abs_sample - w.abs_sample) <= 4 for g, w in zip(got, want))
+
+
+def test_wire_streaming_overlap_contract():
+    """Two submit/collect steps honoring the re-present-the-halo contract:
+    a packet placed in the second step's core (inside the first call's
+    halo) decodes exactly once, in the step that owns it."""
+    from ais_tpu.ops.convert import host_bytes
+
+    rx = _wire_receiver()
+    raw = aivdm_payload_to_bytes(PAYLOAD)
+    total = rx.step_raw + rx.n_in
+    core_raw = rx.core_len * rx.cfg.decimation
+    iq = Scenario(
+        sample_rate=2.4e6,
+        n_samples=total,
+        noise=0.004,
+        packets=[
+            ScenarioPacket(raw, 300000, -25e3, phase=0.3),
+            # Straddles the first call's core/halo seam: starts in the
+            # final core of step 0 and runs past step_raw.
+            ScenarioPacket(raw, rx.step_raw - 40000, +25e3, phase=1.1),
+            # Owned by step 1 (inside step 0's halo span).
+            ScenarioPacket(raw, rx.step_raw + core_raw // 2, -25e3, phase=2.0),
+        ],
+    ).build()
+    wire = host_bytes((iq * 0.7).astype(np.complex64), "ci8")
+    per = 2  # bytes per sample, ci8
+    h0 = rx.submit_wire(wire[: per * rx.n_in], "ci8")
+    h1 = rx.submit_wire(wire[per * rx.step_raw : per * (rx.step_raw + rx.n_in)], "ci8")
+    pkts = rx.collect(h0) + rx.collect(h1)
+    assert sorted(p.nmea for p in pkts) == sorted(
+        [SENTENCE_A, SENTENCE_B, SENTENCE_A]
+    )
+    starts = sorted(p.abs_sample * rx.cfg.decimation for p in pkts)
+    want = sorted([300000, rx.step_raw - 40000, rx.step_raw + core_raw // 2])
+    assert all(abs(g - w) < 2500 for g, w in zip(starts, want))
+
+
 def test_empty_capture(receiver):
     rng = np.random.default_rng(9)
     iq = (
