@@ -177,3 +177,35 @@ class TestFeedforwardFftPath:
             f2 = deframe(bits_ref[np.asarray(v_ref)])
             assert len(f1) == 1 and f1[0].payload == raw, seed
             assert len(f2) == 1 and f2[0].payload == raw, seed
+
+    @pytest.mark.parametrize("ppm", [-50.0, 50.0])
+    def test_decodes_at_50ppm_clock_offset(self, ppm):
+        """AIS allows a 50 ppm symbol-clock error (ITU-R M.1371 §2.2).
+
+        The FFT comb path assumes negligible drift ACROSS one burst
+        (sync/feedforward.py:feedforward_symbols_fft docstring: it fits a
+        single fractional delay and ignores the slope) — at 50 ppm the
+        sampling point walks 256 bits * 5 sps * 50e-6 = 0.064 samples over
+        a packet, well inside the eye.  This pins that claim with a
+        decode at both spec extremes, through the FFT path specifically
+        (the bank path's drift test lives in TestMskTimingRecovery)."""
+        from ais_tpu.sync.feedforward import feedforward_symbols_fft
+
+        raw = aivdm_payload_to_bytes(PAYLOAD)
+        iq15 = make_packet_iq(raw, samples_per_symbol=15)
+        # Resample 15 sps -> 5*(1 +/- 50e-6) samples/symbol by linear
+        # interpolation at stride 3*(1 -/+ 50e-6).
+        stride = 3.0 * (1.0 - ppm * 1e-6)
+        idx = np.arange(0, iq15.size - 16, stride)
+        i0 = idx.astype(int)
+        frac = (idx - i0).astype(np.float32)
+        iq = (iq15[i0] * (1 - frac) + iq15[i0 + 1] * frac).astype(np.complex64)
+        rng = np.random.default_rng(11)
+        burst = (rng.normal(size=4608) + 1j * rng.normal(size=4608)).astype(
+            np.complex64
+        ) * 0.03
+        burst[7 : 7 + iq.size] += iq
+        s, v = feedforward_symbols_fft(jnp.asarray(burst), 5.0, 900)
+        bits = np.asarray(slice_diff_invert(quadrature_demod(s)))[np.asarray(v)]
+        frames = deframe(bits)
+        assert len(frames) == 1 and frames[0].payload == raw, ppm
