@@ -51,6 +51,12 @@ def main() -> int:
         int(sys.argv[3]),
         sys.argv[4],
     )
+    # Optional bench mode: argv[5] = n_blocks, argv[6] = timed iterations.
+    # With iters > 0 the worker warms up once, then times `iters`
+    # steady-state decodes of the same stream (used by
+    # tools/multihost_scaling.py to measure DCN overhead).
+    n_blocks = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    iters = int(sys.argv[6]) if len(sys.argv) > 6 else 0
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -60,16 +66,24 @@ def main() -> int:
         init_distributed,
     )
 
-    init_distributed(coordinator, num_procs, proc_id)
+    init_distributed(
+        None if coordinator == "none" else coordinator, num_procs, proc_id
+    )
     assert jax.process_count() == num_procs
     n_global = len(jax.devices())
 
     dec = DistributedBlockDecoder()
     assert dec.n_devices == n_global
-    iq, _ = synthesize(dec.core_len * 8)
+    iq, _ = synthesize(dec.core_len * n_blocks)
     t1 = time.time()
     packets = dec.decode_stream(iq)
     t2 = time.time()
+    steady_s = None
+    if iters > 0:
+        ts = time.time()
+        for _ in range(iters):
+            packets = dec.decode_stream(iq)
+        steady_s = (time.time() - ts) / iters
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -83,6 +97,8 @@ def main() -> int:
                 ],
                 "init_s": round(t1 - t0, 2),
                 "decode_s": round(t2 - t1, 2),
+                "steady_s": None if steady_s is None else round(steady_s, 3),
+                "n_blocks": n_blocks,
             },
             f,
         )
