@@ -223,6 +223,41 @@ class TestCli:
         )
         assert SENTENCE in out.stdout, (out.stdout, out.stderr[-2000:])
 
+    def test_scope_renders_png(self, tmp_path, packet):
+        """`ais_scope` is the GRC-GUI replacement (python/ais.grc QT
+        sinks): it must render the six diagnostic panels to a PNG from a
+        capture with no GUI runtime present."""
+        iq = _noise(48000 * 2)
+        iq[30000 : 30000 + packet.size] += packet
+        path = tmp_path / "c.iq"
+        iq.tofile(path)
+        png = tmp_path / "scope.png"
+        out = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "ais_tpu.cli.ais_scope",
+                "-s",
+                str(path),
+                "-S",
+                "-o",
+                str(png),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            env={
+                "PATH": "/usr/bin:/bin:/usr/local/bin",
+                "PYTHONPATH": "/root/.axon_site",
+                "JAX_PLATFORMS": "cpu",
+                "HOME": "/root",
+                "MPLBACKEND": "Agg",
+            },
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        data = png.read_bytes()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) > 20000
+
 
 class TestRuntimeControls:
     def test_set_threshold_rebuilds(self, packet):
