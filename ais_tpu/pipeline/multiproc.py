@@ -1,0 +1,213 @@
+"""Multi-process ingest fan for the wire path.
+
+The development TPU is reached through a tunnel whose host->device
+channel is a strictly serial ~48 MB/s FIFO *per client connection* —
+transfers, dispatches, and fetches from one process never overlap, so a
+single-process pipeline is ingest-bound at ~24 Msps no matter how fast
+the chip computes (measured: device compute alone is ~127 Msps).  The
+link itself has more headroom: concurrent client connections aggregate
+to ~80 MB/s (2 procs) / ~103 MB/s (3 procs).
+
+`MultiProcessWideband` therefore fans the overlap-save stream steps
+round-robin over N worker processes, each owning a private device
+connection and a full `WidebandReceiver`.  Correctness needs no
+cross-worker coordination: every step covers exactly `n_in` raw samples
+and advances by `step_raw`, a packet belongs to the step whose core
+holds its preamble (the same exactly-once ownership rule the
+single-process stream uses — pipeline/receiver.py module docstring), so
+interleaved steps partition the packet set.  Equivalence to the
+single-process decoder is asserted in tests/test_multiproc.py.
+
+This is the TPU-native analogue of the reference's scheduler
+parallelism: GNU Radio overlaps ingest with compute by giving every
+block its own thread over shared ring buffers
+(reference: SURVEY.md §1 L0 runtime); here the unit of concurrency is a
+whole pipeline step over a private device channel, because the channel
+— not the compute — is the contended resource.
+
+On real PCIe-attached TPUs (16 GB/s h2d) the fan is unnecessary; it
+composes transparently with `jax.distributed` multi-host decode, where
+each host runs its own fan.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import queue as queue_mod
+
+import numpy as np
+
+from ais_tpu.pipeline.host import DecodedPacket
+from ais_tpu.pipeline.wideband import WidebandConfig, num_taps, wideband_geometry
+
+
+def _worker_main(cfg, n_in, fmt, platform, cache_dir, in_q, out_q):
+    """One fan worker: build a receiver on its own device connection and
+    decode the steps it is handed.  Runs in a spawned process."""
+    try:
+        import jax
+
+        if platform is not None:
+            jax.config.update("jax_platforms", platform)
+        if cache_dir is not None:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+        from ais_tpu.pipeline.wideband import WidebandReceiver
+
+        rx = WidebandReceiver(cfg, n_in=n_in)
+        out_q.put(("ready", None, None))
+        while True:
+            item = in_q.get()
+            if item is None:
+                return
+            step_idx, wire = item
+            handle = rx.submit_wire(wire, fmt, pos=step_idx * rx.step_raw)
+            pkts = rx.collect(handle)
+            out_q.put(
+                (
+                    "pkts",
+                    step_idx,
+                    [
+                        (p.payload, p.abs_sample, p.designator, p.corr_mag, p.freq_est_hz)
+                        for p in pkts
+                    ],
+                )
+            )
+    except Exception as e:  # noqa: BLE001 — surface worker death to parent
+        out_q.put(("error", None, f"{type(e).__name__}: {e}"))
+        raise
+
+
+class MultiProcessWideband:
+    """Fan wideband wire steps over N worker processes (one chip).
+
+    Usage:
+        fan = MultiProcessWideband(n_workers=3)
+        fan.start()                       # blocks until workers warm
+        for i, wire in enumerate(steps):  # each len = 2 * fan.n_in (ci8)
+            fan.submit(i, wire)
+        packets = fan.drain()             # all packets, position-sorted
+        fan.close()
+
+    Steps follow the wire stream contract (wideband.py): step i covers
+    raw samples [i*step_raw, i*step_raw + n_in); consecutive steps
+    re-present the framing halo.
+    """
+
+    def __init__(
+        self,
+        cfg: WidebandConfig = WidebandConfig(),
+        n_in: int | None = None,
+        n_workers: int = 3,
+        fmt: str = "ci8",
+        platform: str | None = None,
+        cache_dir: str | None = None,
+    ):
+        self.cfg = cfg
+        if n_in is None:
+            n48 = cfg.block_len + cfg.core_len * 63
+            n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
+        n_in = -(-n_in // cfg.decimation) * cfg.decimation
+        self.n_in = n_in
+        self.n_chan, self.n_blocks, self.core_len = wideband_geometry(cfg, n_in)
+        self.step_raw = self.n_blocks * self.core_len * cfg.decimation
+        self.n_workers = n_workers
+        self.fmt = fmt
+        ctx = mp.get_context("spawn")
+        self._in_qs = [ctx.Queue() for _ in range(n_workers)]
+        self._out_q = ctx.Queue()
+        self._procs = [
+            ctx.Process(
+                target=_worker_main,
+                args=(cfg, n_in, fmt, platform, cache_dir, self._in_qs[w], self._out_q),
+                daemon=True,
+            )
+            for w in range(n_workers)
+        ]
+        self._outstanding = 0
+
+    def start(self, timeout: float = 1800.0) -> None:
+        """Launch workers and block until every one is warm (receiver
+        built, device connection up)."""
+        for p in self._procs:
+            p.start()
+        ready = 0
+        while ready < self.n_workers:
+            kind, _, payload = self._out_q.get(timeout=timeout)
+            if kind == "error":
+                raise RuntimeError(f"fan worker failed during warmup: {payload}")
+            ready += 1
+
+    def submit(self, step_idx: int, wire: np.ndarray) -> None:
+        """Enqueue one wire step (round-robin by step index)."""
+        self._in_qs[step_idx % self.n_workers].put((step_idx, wire))
+        self._outstanding += 1
+
+    def collect(self, n: int | None = None, timeout: float = 600.0):
+        """Wait for `n` (default: all outstanding) step results; returns
+        position-sorted DecodedPackets."""
+        n = self._outstanding if n is None else n
+        packets = []
+        for _ in range(n):
+            kind, _step, payload = self._out_q.get(timeout=timeout)
+            if kind == "error":
+                raise RuntimeError(f"fan worker failed: {payload}")
+            self._outstanding -= 1
+            for pl, pos, desig, mag, freq in payload:
+                packets.append(
+                    DecodedPacket(
+                        payload=pl,
+                        abs_sample=pos,
+                        designator=desig,
+                        corr_mag=mag,
+                        freq_est_hz=freq,
+                    )
+                )
+        packets.sort(key=lambda p: (p.abs_sample, p.designator))
+        # Cross-step double-fire guard: a correlator double-detection
+        # within a few samples of a step boundary is deduped per-worker
+        # in-step, but the twin sightings land in different workers.
+        # Same payload+channel within the dedup window -> one packet.
+        from ais_tpu.pipeline.host import DEDUP_WINDOW
+
+        out, last = [], {}
+        for p in packets:
+            key = (p.designator, p.payload)
+            if key in last and p.abs_sample - last[key] < DEDUP_WINDOW:
+                continue
+            last[key] = p.abs_sample
+            out.append(p)
+        return out
+
+    def drain(self, timeout: float = 600.0):
+        return self.collect(None, timeout)
+
+    def close(self) -> None:
+        for q in self._in_qs:
+            q.put(None)
+        for p in self._procs:
+            p.join(timeout=30)
+            if p.is_alive():
+                p.terminate()
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def wire_steps(raw_u8: np.ndarray, n_in: int, step_raw: int, bytes_per_sample: int = 2):
+    """Split a contiguous wire capture into overlapped fan steps
+    (generator of (step_idx, view)); the trailing partial step is
+    dropped — zero-pad the capture to cover the tail."""
+    n_samples = raw_u8.size // bytes_per_sample
+    i = 0
+    while i * step_raw + n_in <= n_samples:
+        lo = i * step_raw * bytes_per_sample
+        yield i, raw_u8[lo : lo + n_in * bytes_per_sample]
+        i += 1

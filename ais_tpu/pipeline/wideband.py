@@ -118,6 +118,44 @@ def pack_wire_records(rec: BurstRecords, fftlen: int) -> WireRecords:
     return WireRecords(meta_i, meta_f, packed)
 
 
+def pack_wire_flat(rec: BurstRecords, fftlen: int) -> jax.Array:
+    """Coalesce WireRecords into ONE 1-D uint8 buffer (device side).
+
+    The tunnel backend charges ~30 ms latency per d2h transfer; three
+    record tensors = three round trips.  Decomposing the int32/float32
+    meta into little-endian bytes on device (shift+mask; float32 via a
+    same-width bitcast) and concatenating with the packed bit planes
+    makes the whole fetch a single transfer.  Layout:
+      [meta_i as (C*B*K*4) le-i32 bytes][meta_f as (C*B*K*2) le-f32
+      bytes][packed (C*B*K*2*n_pack)].
+    """
+    w = pack_wire_records(rec, fftlen)
+
+    def le_bytes(x_i32: jax.Array) -> jax.Array:
+        # Arithmetic >> then &255 extracts exact two's-complement bytes.
+        return jnp.stack(
+            [(x_i32 >> s) & 255 for s in (0, 8, 16, 24)], axis=-1
+        ).astype(jnp.uint8)
+
+    bi = le_bytes(w.meta_i)
+    bf = le_bytes(jax.lax.bitcast_convert_type(w.meta_f, jnp.int32))
+    return jnp.concatenate([bi.ravel(), bf.ravel(), w.packed.ravel()])
+
+
+def unpack_wire_flat(
+    buf: np.ndarray, C: int, B: int, K: int, n_pack: int
+) -> WireRecords:
+    """Host-side inverse of `pack_wire_flat` (numpy views, no copies
+    beyond the frombuffer)."""
+    buf = np.asarray(buf, dtype=np.uint8)
+    ni = C * B * K * 4 * 4
+    nf = C * B * K * 2 * 4
+    meta_i = np.frombuffer(buf[:ni].tobytes(), "<i4").reshape(C, B, K, 4)
+    meta_f = np.frombuffer(buf[ni : ni + nf].tobytes(), "<f4").reshape(C, B, K, 2)
+    packed = buf[ni + nf :].reshape(C, B, K, 2, n_pack)
+    return WireRecords(meta_i, meta_f, packed)
+
+
 def make_wideband_fns(cfg: WidebandConfig, n_in: int):
     """Build the two jittable halves of the wideband pipeline.
 
@@ -272,7 +310,7 @@ class WidebandReceiver:
         call (the framing halo at input rate)."""
         return self.n_in - self.step_raw
 
-    def submit_wire(self, raw_u8: np.ndarray, fmt: str = "ci8"):
+    def submit_wire(self, raw_u8: np.ndarray, fmt: str = "ci8", pos: int | None = None):
         """Enqueue one n_in-sample wire step; returns a handle for
         `collect()`.
 
@@ -283,6 +321,11 @@ class WidebandReceiver:
         N+1 before collecting step N double-buffers the pipeline: the
         h2d transfer and device compute of N+1 overlap the d2h record
         fetch and host deframing of N.
+
+        `pos` overrides the stream position (absolute raw index of
+        raw_u8's first sample) without touching the internal counter —
+        used by the multi-process ingest fan, where each worker decodes
+        an interleaved subset of steps (pipeline/multiproc.py).
         """
         from ais_tpu.ops.convert import iq_from_bytes_ci8, iq_from_bytes_ci16
 
@@ -299,25 +342,26 @@ class WidebandReceiver:
             fftlen = self.cfg.demod.fftlen
 
             def fn(raw, ph, car, hf):
-                return pack_wire_records(demod(chan(conv(raw), ph, car, hf)), fftlen)
+                return pack_wire_flat(demod(chan(conv(raw), ph, car, hf)), fftlen)
 
             self._wire_fns[fmt] = jax.jit(fn)
+        at = self._pos if pos is None else int(pos)
         phase0s = np.stack(
-            [mixer_phase(off, self.cfg.input_rate, self._pos) for off in self.cfg.offsets_hz]
+            [mixer_phase(off, self.cfg.input_rate, at) for off in self.cfg.offsets_hz]
         )
         # device_put starts the (async) transfer immediately; the jitted
         # call dispatches without blocking, so the handle is a future.
         rec = self._wire_fns[fmt](
             jax.device_put(raw_u8), jnp.asarray(phase0s), self._carriers, self._hf
         )
-        chan_start = self._pos // self.cfg.decimation
-        self._pos += self.step_raw
+        chan_start = at // self.cfg.decimation
+        if pos is None:
+            self._pos += self.step_raw
         return (rec, chan_start)
 
     def collect(self, handle):
         """Block on a submit_wire handle and host-decode its packets."""
-        rec, chan_start = handle
-        rec_np = jax.tree.map(np.asarray, rec)
+        flat, chan_start = handle
         from ais_tpu.pipeline.host import decode_wire_records
 
         import dataclasses
@@ -326,6 +370,14 @@ class WidebandReceiver:
             self.cfg.demod, samples_per_symbol=self.cfg.sps
         )
         _, n_sym = burst_table_geometry(demod_cfg)
+        n_pack = -(-n_sym // 8)
+        rec_np = unpack_wire_flat(
+            np.asarray(flat),
+            self.n_chan,
+            self.n_blocks,
+            demod_cfg.max_bursts_per_block,
+            n_pack,
+        )
         return decode_wire_records(
             rec_np,
             n_sym,

@@ -1,0 +1,79 @@
+"""Multi-process ingest fan (pipeline/multiproc.py): equivalence with
+the single-process wire stream.
+
+The fan exists because the dev TPU tunnel serializes each client's
+transfers (~48 MB/s FIFO) but aggregates across client connections;
+correctness, however, is backend-independent — interleaved steps
+partition the packet set by core ownership — so the equivalence proof
+runs on the CPU backend with 2 spawned workers.
+"""
+
+import numpy as np
+import pytest
+
+from ais_tpu.ops.convert import host_bytes
+from ais_tpu.pipeline.multiproc import MultiProcessWideband, wire_steps
+from ais_tpu.pipeline.wideband import WidebandConfig, WidebandReceiver, num_taps
+from ais_tpu.tx import aivdm_payload_to_bytes
+from ais_tpu.tx.scenario import Scenario, ScenarioPacket
+
+PAYLOAD = "14eG;o@034o8sd<L9i:a;WF>062D"
+
+
+def _capture(cfg, n_samples):
+    """Packets sprinkled across both channels, incl. one near a step
+    boundary region."""
+    raw = aivdm_payload_to_bytes(PAYLOAD)
+    rng = np.random.default_rng(9)
+    packets = []
+    for ci, off in enumerate(cfg.offsets_hz):
+        for k in range(4):
+            p = bytearray(raw)
+            p[1] = (7 * k + ci) % 256
+            start = 40_000 + k * (n_samples - 120_000) // 4 + ci * 31_000
+            packets.append(
+                ScenarioPacket(
+                    payload=bytes(p),
+                    start_sample=start,
+                    offset_hz=float(off),
+                    phase=float(rng.uniform(0, 2 * np.pi)),
+                    extra_freq_hz=float(rng.uniform(-150, 150)),
+                )
+            )
+    iq = Scenario(
+        sample_rate=cfg.input_rate,
+        n_samples=n_samples,
+        packets=packets,
+        noise=0.004,
+    ).build()
+    return host_bytes((iq * 0.7).astype(np.complex64), "ci8"), packets
+
+
+@pytest.mark.parametrize("n_workers", [2])
+def test_fan_matches_single_process(n_workers):
+    cfg = WidebandConfig()
+    # Small steps -> several of them: 2 blocks per step.
+    n48 = cfg.block_len + cfg.core_len
+    n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
+
+    fan = MultiProcessWideband(
+        cfg, n_in=n_in, n_workers=n_workers, platform="cpu"
+    )
+    n_steps = 5
+    total = fan.step_raw * n_steps + (fan.n_in - fan.step_raw)
+    wire, tx = _capture(cfg, total)
+
+    # Single-process reference decode over the identical steps.
+    rx = WidebandReceiver(cfg, n_in=fan.n_in)
+    want = []
+    for _i, step in wire_steps(wire, fan.n_in, fan.step_raw):
+        want.extend(rx.decode_wire(step, "ci8"))
+    want_set = sorted((p.payload, p.abs_sample, p.designator) for p in want)
+    assert len(want) >= len(tx) - 1  # the scene itself decodes
+
+    with fan:
+        for i, step in wire_steps(wire, fan.n_in, fan.step_raw):
+            fan.submit(i, np.array(step))
+        got = fan.drain()
+    got_set = sorted((p.payload, p.abs_sample, p.designator) for p in got)
+    assert got_set == want_set

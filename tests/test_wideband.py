@@ -117,3 +117,66 @@ def test_empty_capture(receiver):
         rng.normal(size=receiver.n_in) + 1j * rng.normal(size=receiver.n_in)
     ).astype(np.complex64) * 0.05
     assert receiver.decode(iq) == []
+
+
+def test_wire_flat_roundtrip_exact():
+    """pack_wire_flat -> unpack_wire_flat is byte-exact: int32 metadata
+    (incl. values with high bytes set) and float32 metadata (incl.
+    negative frequencies) survive the on-device little-endian byte
+    decomposition bit-for-bit."""
+    import jax.numpy as jnp
+
+    from ais_tpu.pipeline.receiver import BurstRecords
+    from ais_tpu.pipeline.wideband import pack_wire_flat, unpack_wire_flat
+
+    C, B, K, n_sym = 2, 3, 4, 37
+    rng = np.random.default_rng(5)
+    rec = BurstRecords(
+        position=jnp.asarray(
+            rng.integers(0, 2**30, size=(C, B, K)), jnp.int32
+        ),
+        center=jnp.zeros((C, B, K), jnp.float32),
+        phase=jnp.zeros((C, B, K), jnp.float32),
+        mag=jnp.asarray(
+            rng.uniform(0, 1e7, size=(C, B, K)).astype(np.float32)
+        ),
+        valid=jnp.asarray(rng.integers(0, 2, size=(C, B, K)), bool),
+        bits=jnp.asarray(rng.integers(0, 2, size=(C, B, K, n_sym)), jnp.uint8),
+        bit_valid=jnp.asarray(
+            rng.integers(0, 2, size=(C, B, K, n_sym)), bool
+        ),
+        freq_est=jnp.asarray(
+            rng.uniform(-4000, 4000, size=(C, B, 7)).astype(np.float32)
+        ),
+        n_detected=jnp.asarray(rng.integers(0, 99, size=(C, B)), jnp.int32),
+        win_start=jnp.asarray(
+            rng.integers(0, 2**24, size=(C, B, K)), jnp.int32
+        ),
+    )
+    fftlen = 1024
+    flat = np.asarray(pack_wire_flat(rec, fftlen))
+    assert flat.dtype == np.uint8 and flat.ndim == 1
+    w = unpack_wire_flat(flat, C, B, K, -(-n_sym // 8))
+
+    # Reference packing on host.
+    np.testing.assert_array_equal(w.meta_i[..., 0], np.asarray(rec.position))
+    np.testing.assert_array_equal(w.meta_i[..., 1], np.asarray(rec.win_start))
+    np.testing.assert_array_equal(
+        w.meta_i[..., 2], np.asarray(rec.valid).astype(np.int32)
+    )
+    np.testing.assert_array_equal(
+        w.meta_i[..., 3], np.broadcast_to(np.asarray(rec.n_detected)[..., None], (C, B, K))
+    )
+    # Bit-exact floats (incl. negative freq estimates).
+    np.testing.assert_array_equal(w.meta_f[..., 0], np.asarray(rec.mag))
+    chunk = np.clip(np.asarray(rec.position) // fftlen, 0, 6)
+    want_freq = np.take_along_axis(
+        np.asarray(rec.freq_est), chunk.reshape(C, B, K), axis=-1
+    )
+    np.testing.assert_array_equal(w.meta_f[..., 1], want_freq)
+    # Bit planes round-trip through the 8x packing.
+    planes = np.unpackbits(w.packed, axis=-1)[..., :n_sym]
+    np.testing.assert_array_equal(planes[..., 0, :], np.asarray(rec.bits))
+    np.testing.assert_array_equal(
+        planes[..., 1, :], np.asarray(rec.bit_valid).astype(np.uint8)
+    )
