@@ -28,6 +28,15 @@ whole pipeline step over a private device channel, because the channel
 On real PCIe-attached TPUs (16 GB/s h2d) the fan is unnecessary; it
 composes transparently with `jax.distributed` multi-host decode, where
 each host runs its own fan.
+
+Measured caveat on the dev tunnel: raw h2d aggregates across client
+connections (48 -> 80 -> 103 MB/s for 1/2/3 clients), but concurrent
+*executions* from multiple clients thrash the shared service (~29 s per
+step vs 0.5 s single-client — apparently per-dispatch executable
+reloading), so the fan loses to single-process depth-2 pipelining
+there; `bench.py` uses the latter.  The fan's correctness is
+backend-independent (tests/test_multiproc.py) and it is the right shape
+for links that multiplex DMA streams per connection.
 """
 
 from __future__ import annotations
@@ -45,6 +54,12 @@ def _worker_main(cfg, n_in, fmt, platform, cache_dir, in_q, out_q):
     """One fan worker: build a receiver on its own device connection and
     decode the steps it is handed.  Runs in a spawned process."""
     try:
+        import os
+
+        # N clients sharing one chip must not each claim the default
+        # ~75% of HBM (client init reads these at first device use).
+        os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
+        os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.2")
         import jax
 
         if platform is not None:
