@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
         "-F",
         "--format",
         default="complex64",
-        choices=["complex64", "cf32", "ci16", "cs16", "ci8", "cs8", "cu8"],
+        choices=["complex64", "cf32", "ci16", "cs16", "ci8", "cs8", "cu8", "ci4"],
         help="IQ sample format of the source [default=%(default)s]",
     )
     p.add_argument("--repeat", action="store_true", help="loop a file source")

@@ -28,6 +28,7 @@ _FORMATS = {
     "ci8": (np.int8, 2),
     "cs8": (np.int8, 2),
     "cu8": (np.uint8, 2),  # rtl_sdr capture format
+    "ci4": (np.uint8, 1),  # nibble-packed 4-bit IQ: (I << 4) | Q per byte
 }
 
 
@@ -35,6 +36,14 @@ def _convert(raw: np.ndarray, fmt: str) -> np.ndarray:
     """Interleaved integer IQ -> complex64 in [-1, 1]."""
     if fmt in ("complex64", "cf32"):
         return raw.astype(np.complex64)
+    if fmt == "ci4":
+        # Packed: one byte per complex sample, no deinterleave step.
+        v = raw.astype(np.int32)
+        i = (v >> 4) & 15
+        q = v & 15
+        i -= 16 * (i >= 8)
+        q -= 16 * (q >= 8)
+        return ((i + 1j * q) / 8.0).astype(np.complex64)
     try:
         from ais_tpu.native import iq_convert  # C++ fast path
 

@@ -327,13 +327,27 @@ class WidebandReceiver:
         used by the multi-process ingest fan, where each worker decodes
         an interleaved subset of steps (pipeline/multiproc.py).
         """
-        from ais_tpu.ops.convert import iq_from_bytes_ci8, iq_from_bytes_ci16
+        from ais_tpu.ops.convert import (
+            iq_from_bytes_ci2,
+            iq_from_bytes_ci4,
+            iq_from_bytes_ci8,
+            iq_from_bytes_ci16,
+        )
 
-        conv = {"ci8": iq_from_bytes_ci8, "ci16": iq_from_bytes_ci16}[fmt]
-        per = {"ci8": 2, "ci16": 4}[fmt]
-        if raw_u8.size != per * self.n_in:
+        # fmt -> (device converter, wire bytes per sample as num/den).
+        # ci4/ci2 are the packed formats for bandwidth-bound ingest links
+        # (the dev tunnel h2d channel runs ~49 MB/s; see convert.py).
+        table = {
+            "ci16": (iq_from_bytes_ci16, 4, 1),
+            "ci8": (iq_from_bytes_ci8, 2, 1),
+            "ci4": (iq_from_bytes_ci4, 1, 1),
+            "ci2": (iq_from_bytes_ci2, 1, 2),
+        }
+        conv, num, den = table[fmt]
+        want = self.n_in * num // den
+        if raw_u8.size != want:
             raise ValueError(
-                f"wire buffer {raw_u8.size} != {per} * n_in {self.n_in}"
+                f"wire buffer {raw_u8.size} != {num}/{den} * n_in {self.n_in}"
             )
         if not hasattr(self, "_wire_fns"):
             self._wire_fns = {}

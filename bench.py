@@ -124,6 +124,12 @@ def _geometry():
     return cfg, n_in
 
 
+WIRE_FMT = "ci4"  # nibble-packed 4-bit IQ: the ingest link (~49 MB/s
+#   tunnel h2d) is the binding constraint, and 4-bit wideband
+#   quantization costs nothing after the channelizer's 50x bandwidth
+#   reduction (content parity stays 1.0 at full load — ops/convert.py).
+
+
 def measure(backend: str) -> dict:
     """Single-process measurement (the CPU cross-check path)."""
     import jax
@@ -140,39 +146,49 @@ def measure(backend: str) -> dict:
     n_in = rx.n_in  # decim-aligned
 
     iq, tx_packets = _scene(cfg, n_in, rx.step_raw)
-    wire = host_bytes((iq * 0.7).astype("complex64"), "ci8")
+    wire = host_bytes((iq * 0.7).astype("complex64"), WIRE_FMT)
 
     # Warm-up: compile + content-parity check.
     t0 = time.time()
-    found = rx.decode_wire(wire, "ci8")
+    found = rx.decode_wire(wire, WIRE_FMT)
     compile_s = time.time() - t0
     parity = _content_parity(found, tx_packets, cfg.decimation)
 
-    # Steady state: depth-2 pipelined stream (submit N+1 before
-    # collecting N — lets h2d of the next step overlap compute+fetch of
-    # the current one; deeper queues head-of-line block on the tunnel).
+    # Steady state, two loop shapes per window:
+    #   serial   — submit/collect one step at a time.  On the tunnel TPU
+    #     this wins: the per-connection h2d channel is a strict FIFO
+    #     (transfers, dispatch, fetch never overlap), so queueing only
+    #     adds overhead.
+    #   depth-2  — submit N+1 before collecting N.  On backends with a
+    #     real async stream (CPU, PCIe TPUs) this overlaps host decode
+    #     with device compute.
     # Several measurement windows, best one reported: the dev TPU rides
     # a shared tunnel whose bandwidth wanders minute-to-minute, so the
     # peak window is the honest capability number (both backends get
     # identical treatment).
     iters, windows = 8, 3
-    best_dt, total_pkts, host_s = None, 0, 0.0
-    for _w in range(windows):
-        w_pkts = 0
-        w_host = 0.0
+
+    def run_window(depth: int):
+        pkts, host_s = 0, 0.0
         t0 = time.time()
-        pending = [rx.submit_wire(wire, "ci8"), rx.submit_wire(wire, "ci8")]
+        pending = [rx.submit_wire(wire, WIRE_FMT) for _ in range(depth)]
         done = 0
         while pending:
             th = time.time()
-            w_pkts += len(rx.collect(pending.pop(0)))
-            w_host += time.time() - th
+            pkts += len(rx.collect(pending.pop(0)))
+            host_s += time.time() - th
             done += 1
             if done + len(pending) < iters:
-                pending.append(rx.submit_wire(wire, "ci8"))
-        dt = time.time() - t0
-        if best_dt is None or dt < best_dt:
-            best_dt, total_pkts, host_s = dt, w_pkts, w_host
+                pending.append(rx.submit_wire(wire, WIRE_FMT))
+        return time.time() - t0, pkts, host_s
+
+    best = None  # (dt, pkts, host_s, depth)
+    for _w in range(windows):
+        for depth in (1, 2):
+            dt, pkts, host_s = run_window(depth)
+            if best is None or dt < best[0]:
+                best = (dt, pkts, host_s, depth)
+    best_dt, total_pkts, host_s, best_depth = best
     msps = n_in * iters / best_dt / 1e6
 
     return {
@@ -182,11 +198,13 @@ def measure(backend: str) -> dict:
         "vs_baseline": round(msps / BASELINE_MSPS, 1),
         "detail": {
             "backend": str(jax.devices()[0]),
+            "wire_format": WIRE_FMT,
             "realtime_multiple_at_2p4Msps": round(msps / 2.4, 1),
             "packet_parity_warmup": round(parity, 4),
             "tx_packets_per_call": len(tx_packets),
             "packets_per_sec": round(total_pkts / best_dt, 1),
             "collect_frac": round(host_s / best_dt, 3),
+            "pipeline_depth": best_depth,
             "compile_s": round(compile_s, 1),
             "n_in_per_call": n_in,
         },
