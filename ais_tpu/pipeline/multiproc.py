@@ -33,10 +33,12 @@ Measured caveat on the dev tunnel: raw h2d aggregates across client
 connections (48 -> 80 -> 103 MB/s for 1/2/3 clients), but concurrent
 *executions* from multiple clients thrash the shared service (~29 s per
 step vs 0.5 s single-client — apparently per-dispatch executable
-reloading), so the fan loses to single-process depth-2 pipelining
-there; `bench.py` uses the latter.  The fan's correctness is
-backend-independent (tests/test_multiproc.py) and it is the right shape
-for links that multiplex DMA streams per connection.
+reloading).  The fix (default `serialize_exec=True`): workers stage
+transfers concurrently on their own connections and take a shared lock
+around dispatch+completion only — executions never overlap, transfers
+do.  Measured at ci4 (tools/tpu_fan_probe.py): 40 Msps single-process
+-> 72 Msps with 2 workers.  The fan's correctness is
+backend-independent (tests/test_multiproc.py).
 """
 
 from __future__ import annotations
@@ -50,7 +52,7 @@ from ais_tpu.pipeline.host import DecodedPacket
 from ais_tpu.pipeline.wideband import WidebandConfig, num_taps, wideband_geometry
 
 
-def _worker_main(cfg, n_in, fmt, platform, cache_dir, in_q, out_q):
+def _worker_main(cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q):
     """One fan worker: build a receiver on its own device connection and
     decode the steps it is handed.  Runs in a spawned process."""
     try:
@@ -72,13 +74,23 @@ def _worker_main(cfg, n_in, fmt, platform, cache_dir, in_q, out_q):
         from ais_tpu.pipeline.wideband import WidebandReceiver
 
         rx = WidebandReceiver(cfg, n_in=n_in)
+        # Warm-up (compile / persistent-cache load) runs unlocked: it is
+        # a one-time cost and serializing it would stack N compiles
+        # end-to-end (prohibitive on the CPU backend's ~60 s compile).
         out_q.put(("ready", None, None))
         while True:
             item = in_q.get()
             if item is None:
                 return
             step_idx, wire = item
-            handle = rx.submit_wire(wire, fmt, pos=step_idx * rx.step_raw)
+            staged = rx.stage_wire(wire, fmt, pos=step_idx * rx.step_raw)
+            jax.block_until_ready(staged[0])  # own-connection transfer
+            if exec_lock is not None:
+                with exec_lock:  # one execution on the chip at a time
+                    handle = rx.dispatch_wire(staged)
+                    jax.block_until_ready(handle[0])
+            else:
+                handle = rx.dispatch_wire(staged)
             pkts = rx.collect(handle)
             out_q.put(
                 (
@@ -119,6 +131,7 @@ class MultiProcessWideband:
         fmt: str = "ci8",
         platform: str | None = None,
         cache_dir: str | None = None,
+        serialize_exec: bool = True,
     ):
         self.cfg = cfg
         if n_in is None:
@@ -131,12 +144,34 @@ class MultiProcessWideband:
         self.n_workers = n_workers
         self.fmt = fmt
         ctx = mp.get_context("spawn")
+        # Serialized executions + concurrent transfers: the shared
+        # device service thrashes when multiple clients execute at once
+        # (~29 s/step), but transfers aggregate across connections —
+        # each worker stages its h2d on its own connection and takes
+        # this lock only around dispatch+completion.  Measured on the
+        # dev tunnel (tools/tpu_fan_probe.py): 40 -> 72 Msps for 2
+        # workers at ci4.
+        exec_lock = ctx.Lock() if serialize_exec else None
+        # MUST outlive worker startup: Process.start() drops its args
+        # reference, and a GC'd SemLock finalizer sem_unlink()s the
+        # named semaphore — a child still unpickling its args then dies
+        # with FileNotFoundError during SemLock._rebuild.
+        self._exec_lock = exec_lock
         self._in_qs = [ctx.Queue() for _ in range(n_workers)]
         self._out_q = ctx.Queue()
         self._procs = [
             ctx.Process(
                 target=_worker_main,
-                args=(cfg, n_in, fmt, platform, cache_dir, self._in_qs[w], self._out_q),
+                args=(
+                    cfg,
+                    n_in,
+                    fmt,
+                    platform,
+                    cache_dir,
+                    exec_lock,
+                    self._in_qs[w],
+                    self._out_q,
+                ),
                 daemon=True,
             )
             for w in range(n_workers)

@@ -310,22 +310,27 @@ class WidebandReceiver:
         call (the framing halo at input rate)."""
         return self.n_in - self.step_raw
 
-    def submit_wire(self, raw_u8: np.ndarray, fmt: str = "ci8", pos: int | None = None):
-        """Enqueue one n_in-sample wire step; returns a handle for
-        `collect()`.
+    def stage_wire(self, raw_u8: np.ndarray, fmt: str = "ci8", pos: int | None = None):
+        """Start the h2d transfer of one wire step WITHOUT dispatching
+        the device program; returns a staged handle for `dispatch_wire`.
 
-        SDRs emit int8/int16 IQ; shipping those bytes and converting on
-        device (ops/convert.py) cuts host->device traffic 4x/2x vs
-        complex64 planes — the binding constraint for sustained
-        throughput on bandwidth-limited ingest links.  Submitting step
-        N+1 before collecting step N double-buffers the pipeline: the
-        h2d transfer and device compute of N+1 overlap the d2h record
-        fetch and host deframing of N.
+        Splitting transfer from dispatch exists for multi-connection
+        ingest fans (pipeline/multiproc.py): the tunnel backend's h2d
+        bandwidth aggregates across client connections, but concurrent
+        *executions* from multiple clients thrash the shared service —
+        so fan workers stage transfers concurrently and take a shared
+        lock around dispatch_wire only.
+
+        SDRs emit int8/int16 IQ; shipping those bytes (or the packed
+        ci4/ci2 forms) and converting on device (ops/convert.py) cuts
+        host->device traffic 2-8x vs complex64 planes — the binding
+        constraint for sustained throughput on bandwidth-limited ingest
+        links.
 
         `pos` overrides the stream position (absolute raw index of
         raw_u8's first sample) without touching the internal counter —
-        used by the multi-process ingest fan, where each worker decodes
-        an interleaved subset of steps (pipeline/multiproc.py).
+        used by the fan, where each worker decodes an interleaved
+        subset of steps.
         """
         from ais_tpu.ops.convert import (
             iq_from_bytes_ci2,
@@ -363,15 +368,27 @@ class WidebandReceiver:
         phase0s = np.stack(
             [mixer_phase(off, self.cfg.input_rate, at) for off in self.cfg.offsets_hz]
         )
-        # device_put starts the (async) transfer immediately; the jitted
-        # call dispatches without blocking, so the handle is a future.
-        rec = self._wire_fns[fmt](
-            jax.device_put(raw_u8), jnp.asarray(phase0s), self._carriers, self._hf
-        )
-        chan_start = at // self.cfg.decimation
+        # device_put starts the (async) transfer immediately.
+        buf = jax.device_put(raw_u8)
+        ph = jnp.asarray(phase0s)
         if pos is None:
             self._pos += self.step_raw
-        return (rec, chan_start)
+        return (buf, ph, at, fmt)
+
+    def dispatch_wire(self, staged):
+        """Dispatch the device program on a `stage_wire` handle; returns
+        a handle for `collect()` (the jitted call does not block, so the
+        result is a future)."""
+        buf, ph, at, fmt = staged
+        rec = self._wire_fns[fmt](buf, ph, self._carriers, self._hf)
+        return (rec, at // self.cfg.decimation)
+
+    def submit_wire(self, raw_u8: np.ndarray, fmt: str = "ci8", pos: int | None = None):
+        """Enqueue one n_in-sample wire step (stage + dispatch); returns
+        a handle for `collect()`.  Submitting step N+1 before collecting
+        step N double-buffers the pipeline on backends with an async
+        stream."""
+        return self.dispatch_wire(self.stage_wire(raw_u8, fmt, pos))
 
     def collect(self, handle):
         """Block on a submit_wire handle and host-decode its packets."""

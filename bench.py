@@ -191,6 +191,42 @@ def measure(backend: str) -> dict:
     best_dt, total_pkts, host_s, best_depth = best
     msps = n_in * iters / best_dt / 1e6
 
+    # Multi-connection ingest fan (TPU only): the tunnel's h2d channel
+    # is a per-connection FIFO, but bandwidth aggregates across client
+    # connections; with executions lock-serialized the fan roughly
+    # doubles sustained ingest (pipeline/multiproc.py).  One chip, one
+    # host — the fan is ingest orchestration, not extra compute.
+    fan_msps, mode = None, "single-process"
+    if backend == "tpu":
+        try:
+            from ais_tpu.pipeline.multiproc import MultiProcessWideband
+
+            fan = MultiProcessWideband(
+                cfg,
+                n_in=n_in,
+                n_workers=3,
+                fmt=WIRE_FMT,
+                cache_dir=CACHE_DIR,
+            )
+            fan.start(timeout=900)
+            try:
+                fan_best = None
+                for _w in range(windows):
+                    t0 = time.time()
+                    for i in range(iters):
+                        fan.submit(i, wire)
+                    fan.drain(timeout=300)
+                    dt = time.time() - t0
+                    if fan_best is None or dt < fan_best:
+                        fan_best = dt
+            finally:
+                fan.close()
+            fan_msps = n_in * iters / fan_best / 1e6
+            if fan_msps > msps:
+                msps, mode = fan_msps, "fan-3conn"
+        except Exception:  # noqa: BLE001 — fan is an optimization only
+            pass
+
     return {
         "metric": "wideband_iq_msamples_per_sec_per_chip",
         "value": round(msps, 2),
@@ -199,10 +235,15 @@ def measure(backend: str) -> dict:
         "detail": {
             "backend": str(jax.devices()[0]),
             "wire_format": WIRE_FMT,
+            "mode": mode,
             "realtime_multiple_at_2p4Msps": round(msps / 2.4, 1),
             "packet_parity_warmup": round(parity, 4),
             "tx_packets_per_call": len(tx_packets),
-            "packets_per_sec": round(total_pkts / best_dt, 1),
+            # Decoded-packet rate at the headline sample rate (packets
+            # per sample is load-determined, not mode-determined).
+            "packets_per_sec": round(total_pkts * msps * 1e6 / (n_in * iters), 1),
+            "single_process_msps": round(n_in * iters / best_dt / 1e6, 2),
+            "fan3_msps": round(fan_msps, 2) if fan_msps else None,
             "collect_frac": round(host_s / best_dt, 3),
             "pipeline_depth": best_depth,
             "compile_s": round(compile_s, 1),
@@ -212,6 +253,10 @@ def measure(backend: str) -> dict:
 
 
 def _inner(backend: str) -> int:
+    # The TPU measurement later spawns fan workers that share the chip
+    # with this process: nobody may preallocate the default ~75% of HBM.
+    os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
+    os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.3")
     try:
         result = measure(backend)
     except Exception as e:  # noqa: BLE001
