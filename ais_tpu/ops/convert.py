@@ -64,15 +64,38 @@ def iq_from_bytes_ci4(raw_u8: jax.Array, scale: float = 1.0 / 8.0) -> jax.Array:
     )
 
 
+# Lloyd-Max optimal 4-level quantizer for a unit-variance Gaussian
+# source (Max 1960): decision thresholds at {-t, 0, +t}, reconstruction
+# levels at {-b, -a, +a, +b}.  The wideband capture at full channel
+# load is a dense carrier sum, near-Gaussian per component, so these
+# levels minimize quantization noise power for a 2-bit wire.
+CI2_THRESH = 0.9816
+CI2_INNER = 0.4528
+CI2_OUTER = 1.5104
+
+
 def iq_from_bytes_ci2(raw_u8: jax.Array) -> jax.Array:
     """(n/2,) uint8, each byte = I0 Q0 I1 Q1 as 2-bit codes (MSB-first)
-    -> (n,) complex64.  Code c in {0..3} decodes to (c - 1.5)/2, i.e.
-    the classic 4-level {-0.75, -0.25, +0.25, +0.75} quantizer."""
+    -> (n,) complex64.
+
+    ci2 is an AGC'd format: the encoder (host_bytes) normalizes each
+    buffer to unit per-component RMS before quantizing with the
+    Lloyd-Max thresholds, so code c decodes to the matching Lloyd-Max
+    level sign(c - 1.5) * (CI2_INNER or CI2_OUTER).  Real 2-bit SDR
+    links (e.g. GPS front ends) run exactly this AGC-to-the-quantizer
+    loop in hardware.  Arithmetic-only mapping — no table gather
+    (ARCHITECTURE.md §4 backend rules).
+    """
     v = raw_u8.astype(jnp.int32)
     f = [(v >> s) & 3 for s in (6, 4, 2, 0)]  # I0 Q0 I1 Q1
     re = jnp.stack([f[0], f[2]], axis=-1).reshape(v.shape[-1] * 2)
     im = jnp.stack([f[1], f[3]], axis=-1).reshape(v.shape[-1] * 2)
-    dec = lambda c: (c.astype(jnp.float32) - 1.5) * 0.5  # noqa: E731
+
+    def dec(c):
+        m = c.astype(jnp.float32) - 1.5  # {-1.5, -0.5, +0.5, +1.5}
+        mag = jnp.where(jnp.abs(m) > 1.0, CI2_OUTER, CI2_INNER)
+        return jnp.sign(m) * mag
+
     return jax.lax.complex(dec(re), dec(im))
 
 
@@ -83,8 +106,17 @@ def iq_from_bytes_cu8(raw_u8: jax.Array) -> jax.Array:
     return jax.lax.complex(v[:, 0], v[:, 1])
 
 
-def host_bytes(iq: np.ndarray, fmt: str) -> np.ndarray:
-    """Encode complex64 IQ into the uint8 wire view for tests/benches."""
+def host_bytes(iq: np.ndarray, fmt: str, *, ci2_dither: float = 0.2) -> np.ndarray:
+    """Encode complex64 IQ into the uint8 wire view for tests/benches.
+
+    `ci2_dither`: Gaussian dither amplitude for the 2-bit encode, as a
+    fraction of the buffer's per-component RMS (0 disables).  A coarse
+    quantizer driven by a near-noiseless multi-carrier scene folds
+    phase-dependent intermod spurs into the channel band and can lose a
+    marginal burst; ~0.1-0.3 RMS of dither whitens the spurs and
+    restores full-load content parity to 1.0 (real front ends get this
+    dither for free from thermal noise).  Deterministic (fixed seed).
+    """
     if fmt in ("ci16", "cs16"):
         i = np.round(np.clip(iq.real, -1, 1 - 1 / 32768) * 32768).astype("<i2")
         q = np.round(np.clip(iq.imag, -1, 1 - 1 / 32768) * 32768).astype("<i2")
@@ -106,11 +138,22 @@ def host_bytes(iq: np.ndarray, fmt: str) -> np.ndarray:
     if fmt == "ci2":
         if iq.size % 2:
             raise ValueError("ci2 packs 2 samples/byte: need even sample count")
-        # Inverse of iq_from_bytes_ci2: bin edges at -0.5/0/+0.5 FS.
-        enc = lambda x: np.clip(  # noqa: E731
-            np.floor(x * 2 + 2).astype(np.int32), 0, 3
+        # AGC'd Lloyd-Max encode (see iq_from_bytes_ci2): normalize the
+        # buffer to unit per-component RMS, then threshold at
+        # {-t, 0, +t}.  Full-load parity with this quantizer is 1.0
+        # where the old fixed-full-scale uniform levels lost packets.
+        rms = float(np.sqrt(0.5 * np.mean(np.abs(iq) ** 2))) or 1.0
+        t = CI2_THRESH * rms
+        re, im = iq.real, iq.imag
+        if ci2_dither:
+            rng = np.random.default_rng(0xC12)
+            amp = ci2_dither * rms
+            re = re + rng.normal(size=iq.size) * amp
+            im = im + rng.normal(size=iq.size) * amp
+        enc = lambda x: (  # noqa: E731 — code = #thresholds below x
+            (x > -t).astype(np.int32) + (x > 0) + (x > t)
         )
-        i, q = enc(iq.real), enc(iq.imag)
+        i, q = enc(re), enc(im)
         b = (i[0::2] << 6) | (q[0::2] << 4) | (i[1::2] << 2) | q[1::2]
         return b.astype(np.uint8)
     if fmt == "cu8":

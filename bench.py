@@ -124,10 +124,13 @@ def _geometry():
     return cfg, n_in
 
 
-WIRE_FMT = "ci4"  # nibble-packed 4-bit IQ: the ingest link (~49 MB/s
-#   tunnel h2d) is the binding constraint, and 4-bit wideband
-#   quantization costs nothing after the channelizer's 50x bandwidth
-#   reduction (content parity stays 1.0 at full load — ops/convert.py).
+WIRE_FMT = "ci2"  # 2-bit AGC'd Lloyd-Max IQ, 2 samples/byte: the
+#   ingest link (~50 MB/s tunnel h2d per connection) is the binding
+#   constraint, and after the dithered Lloyd-Max encode the 2-bit
+#   quantization noise lands below the channelizer's 50x processing
+#   gain — content parity stays 1.0 at full load (ops/convert.py,
+#   tests/test_wideband.py).  ci4 is the fallback if a real front end
+#   can't run the AGC-to-quantizer loop ci2 assumes.
 
 
 def measure(backend: str) -> dict:

@@ -199,12 +199,21 @@ def test_packed_format_roundtrip():
     r4 = np.asarray(iq_from_bytes_ci4(host_bytes(iq, "ci4")))
     assert np.abs(r4.real - iq.real).max() <= 1 / 16 + 1e-6
     assert np.abs(r4.imag - iq.imag).max() <= 1 / 16 + 1e-6
-    r2 = np.asarray(iq_from_bytes_ci2(host_bytes(iq, "ci2")))
+    from ais_tpu.ops.convert import CI2_INNER, CI2_OUTER, CI2_THRESH
+
+    r2 = np.asarray(iq_from_bytes_ci2(host_bytes(iq, "ci2", ci2_dither=0.0)))
     assert r2.shape == iq.shape
-    # 2-bit: every decoded value is one of the four levels, and each
-    # source value maps to the level whose bin holds it.
-    assert set(np.round(np.unique(r2.real), 2)) <= {-0.75, -0.25, 0.25, 0.75}
-    want = (np.clip(np.floor(iq.real * 2 + 2), 0, 3) - 1.5) * 0.5
+    # 2-bit AGC'd Lloyd-Max: every decoded value is one of the four
+    # levels, and each source value maps to the level whose RMS-scaled
+    # threshold bin holds it.
+    lv = np.array([-CI2_OUTER, -CI2_INNER, CI2_INNER, CI2_OUTER])
+    assert np.abs(np.unique(r2.real)[:, None] - lv[None, :]).min(1).max() < 1e-5
+    rms = np.sqrt(0.5 * np.mean(np.abs(iq) ** 2))
+    t = CI2_THRESH * rms
+    code = (iq.real > -t).astype(int) + (iq.real > 0) + (iq.real > t)
+    want = np.sign(code - 1.5) * np.where(
+        np.abs(code - 1.5) > 1, CI2_OUTER, CI2_INNER
+    )
     np.testing.assert_allclose(r2.real, want, atol=1e-6)
 
 
@@ -226,4 +235,25 @@ def test_wire_path_ci4_decodes():
         ],
     ).build()
     got = rx.decode_wire(host_bytes((iq * 0.7).astype(np.complex64), "ci4"), "ci4")
+    assert [p.nmea for p in got] == [SENTENCE_A, SENTENCE_B]
+
+
+def test_wire_path_ci2_decodes():
+    """2-bit AGC'd Lloyd-Max wire (the bench headline format): both
+    channels decode with exact payloads through the dithered encoder +
+    on-device 4-level reconstruction (ops/convert.py:iq_from_bytes_ci2)."""
+    from ais_tpu.ops.convert import host_bytes
+
+    rx = _wire_receiver()
+    raw = aivdm_payload_to_bytes(PAYLOAD)
+    iq = Scenario(
+        sample_rate=2.4e6,
+        n_samples=rx.n_in,
+        noise=0.004,
+        packets=[
+            ScenarioPacket(raw, 200000, -25e3, phase=0.7),
+            ScenarioPacket(raw, 700000, +25e3, amplitude=0.6, extra_freq_hz=140.0),
+        ],
+    ).build()
+    got = rx.decode_wire(host_bytes((iq * 0.7).astype(np.complex64), "ci2"), "ci2")
     assert [p.nmea for p in got] == [SENTENCE_A, SENTENCE_B]
