@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
         "-F",
         "--format",
         default="complex64",
-        choices=["complex64", "cf32", "ci16", "cs16", "ci8", "cs8", "cu8", "ci4"],
+        choices=["complex64", "cf32", "ci16", "cs16", "ci8", "cs8", "cu8", "ci4", "ci2"],
         help="IQ sample format of the source [default=%(default)s]",
     )
     p.add_argument("--repeat", action="store_true", help="loop a file source")
@@ -78,6 +78,13 @@ def main(argv: list[str] | None = None) -> int:
     src = open_source(options.source, options.rate, options.format)
     if isinstance(src, FileSource):
         src.repeat = options.repeat
+    if options.format == "ci2" and options.rate < 100e3:
+        print(
+            "warning: ci2 (2-bit) needs the channelizer's processing gain; "
+            "at channel-rate input the quantization noise lands in-band and "
+            "decode will likely fail — use ci4/ci8 below 100 ksps",
+            file=sys.stderr,
+        )
     print(f"Rate is {int(options.rate)}", file=sys.stderr)
     threshold = options.threshold
     if threshold is None:

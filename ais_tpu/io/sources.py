@@ -29,7 +29,20 @@ _FORMATS = {
     "cs8": (np.int8, 2),
     "cu8": (np.uint8, 2),  # rtl_sdr capture format
     "ci4": (np.uint8, 1),  # nibble-packed 4-bit IQ: (I << 4) | Q per byte
+    # 2-bit AGC'd Lloyd-Max IQ, 2 samples/byte.  Needs downstream
+    # decimation gain: decodes at wideband/250 ksps rates (the
+    # channelizer buries the quantization noise) but NOT at 48 ksps
+    # channel rate, where 2-bit noise lands in-band.
+    "ci2": (np.uint8, 1),
 }
+
+
+def _bytes_per_sample(fmt: str) -> float:
+    """Wire bytes per complex sample (fractional for packed formats)."""
+    if fmt == "ci2":
+        return 0.5
+    dtype, lanes = _FORMATS[fmt]
+    return float(np.dtype(dtype).itemsize * lanes)
 
 
 def _convert(raw: np.ndarray, fmt: str) -> np.ndarray:
@@ -44,6 +57,18 @@ def _convert(raw: np.ndarray, fmt: str) -> np.ndarray:
         i -= 16 * (i >= 8)
         q -= 16 * (q >= 8)
         return ((i + 1j * q) / 8.0).astype(np.complex64)
+    if fmt == "ci2":
+        # 2 samples/byte, Lloyd-Max reconstruction levels (the host
+        # mirror of ops/convert.py:iq_from_bytes_ci2).
+        from ais_tpu.ops.convert import CI2_INNER, CI2_OUTER
+
+        v = raw.astype(np.int32)
+        codes = np.stack(
+            [(v >> 6) & 3, (v >> 4) & 3, (v >> 2) & 3, v & 3], axis=-1
+        ).reshape(v.size * 4)
+        m = codes.astype(np.float32) - 1.5
+        lv = np.sign(m) * np.where(np.abs(m) > 1.0, CI2_OUTER, CI2_INNER)
+        return (lv[0::2] + 1j * lv[1::2]).astype(np.complex64)
     try:
         from ais_tpu.native import iq_convert  # C++ fast path
 
@@ -90,11 +115,10 @@ class FileSource(SampleSource):
 
     def chunks(self, chunk_len: int) -> Iterator[np.ndarray]:
         dtype, lanes = _FORMATS[self.fmt]
-        itemsize = np.dtype(dtype).itemsize * lanes
         while True:
             with open(self.path, "rb") as f:
                 while True:
-                    buf = f.read(chunk_len * itemsize)
+                    buf = f.read(int(chunk_len * _bytes_per_sample(self.fmt)))
                     if not buf:
                         break
                     raw = np.frombuffer(buf, dtype=dtype)
@@ -117,8 +141,7 @@ class UdpSource(SampleSource):
 
     def chunks(self, chunk_len: int) -> Iterator[np.ndarray]:
         dtype, lanes = _FORMATS[self.fmt]
-        itemsize = np.dtype(dtype).itemsize * lanes
-        want = chunk_len * itemsize
+        want = int(chunk_len * _bytes_per_sample(self.fmt))
         sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         sock.bind((self.host, self.port))
         if self.timeout_s is not None:

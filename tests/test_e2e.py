@@ -152,6 +152,40 @@ class TestReferenceDefaultRate:
         assert rx.resample_rate == pytest.approx(0.96)
         assert rx.sentences(iq) == [SENTENCE]
 
+    def test_250ksps_ci2_wire(self):
+        # 2-bit Lloyd-Max ingest at the reference-default 250 ksps: the
+        # 5x channelizer decimation provides enough processing gain for
+        # a sparse scene to decode through the coarsest wire format
+        # (io/sources.py ci2 notes; ops/convert.py).
+        import jax.numpy as jnp
+
+        from ais_tpu.io.sources import _convert
+        from ais_tpu.ops.convert import host_bytes
+        from ais_tpu.ops.resample import pfb_arb_resample
+
+        raw = aivdm_payload_to_bytes(PAYLOAD)
+        burst48 = make_packet_iq(raw, samples_per_symbol=5)
+        sig48 = np.zeros(40000, dtype=np.complex64)
+        sig48[7000 : 7000 + burst48.size] = burst48
+        sig250 = np.asarray(pfb_arb_resample(jnp.asarray(sig48), 250.0 / 48.0))
+        rng = np.random.default_rng(0)
+        n = sig250.size
+        t = np.arange(n) / 250e3
+        iq = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(
+            np.complex64
+        ) * 0.01
+        iq += (sig250 * np.exp(-2j * np.pi * 25e3 * t)).astype(np.complex64)
+        u8 = np.frombuffer(
+            host_bytes(iq.astype(np.complex64), "ci2").tobytes(), np.uint8
+        )
+        back = _convert(u8, "ci2").astype(np.complex64)
+        rx = ChannelReceiver(
+            ReceiverConfig(
+                channelizer=ChannelizerConfig(input_rate=250e3, offset_hz=-25e3)
+            )
+        )
+        assert rx.sentences(back) == [SENTENCE]
+
 
 class TestDebugTaps:
     def test_taps_shapes_and_burst_visibility(self, packet):

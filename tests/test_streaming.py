@@ -176,6 +176,17 @@ class TestIo:
         z = read_iq_file(pu8, "cu8")
         assert np.all(np.abs(z) < 0.02)  # 127 ~ midscale
 
+        # ci2 host read mirrors the on-device Lloyd-Max reconstruction.
+        from ais_tpu.ops.convert import host_bytes, iq_from_bytes_ci2
+
+        rng = np.random.default_rng(5)
+        iq = (rng.normal(size=64) + 1j * rng.normal(size=64)).astype(np.complex64)
+        wire = host_bytes(iq, "ci2")
+        p2 = tmp_path / "a.ci2"
+        wire.tofile(p2)
+        w = read_iq_file(p2, "ci2")
+        np.testing.assert_allclose(w, np.asarray(iq_from_bytes_ci2(wire)), atol=1e-6)
+
     def test_open_source_dispatch(self, tmp_path):
         f = tmp_path / "x.iq"
         f.write_bytes(b"\0" * 8)
