@@ -1,0 +1,124 @@
+"""Pallas fused mixer+polyphase channelizer vs the XLA ground truth.
+
+Runs the kernel in interpret mode on the CPU backend (conftest forces
+CPU); the real-TPU correctness + timing probe is
+tools/tpu_pallas_chan_probe.py.  Ground truth is the einsum polyphase
+formulation (`ops/fir.py:_fir_polyphase_einsum`) behind
+`freq_xlating_polyphase`, itself cross-checked against
+`conv_general_dilated` in test_ops.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ais_tpu.ops.cplx import to_planes
+from ais_tpu.ops.fir import (
+    _mixer_carrier,
+    freq_xlating_polyphase,
+    mixer_phase,
+    polyphase_spectra,
+)
+from ais_tpu.ops.firdes import low_pass
+from ais_tpu.ops.pallas_fir import (
+    PallasChannelizer,
+    carrier_period_samples,
+    pallas_channelizer_supported,
+)
+
+
+def _xla_reference(iq, taps, decim, offsets, rate, phase0s):
+    n = iq.size
+    n_out = n // decim - (-(-taps.size // decim)) + 1
+    carriers = np.concatenate([_mixer_carrier(o, rate, n) for o in offsets])
+    hf = polyphase_spectra(taps, decim, n_out)
+    return np.asarray(
+        freq_xlating_polyphase(
+            jnp.asarray(to_planes(iq)),
+            jnp.asarray(to_planes(carriers)),
+            jnp.asarray(phase0s),
+            taps,
+            decim,
+            jnp.asarray(to_planes(hf)),
+        )
+    )
+
+
+class TestGeometry:
+    def test_ais_wideband_period(self):
+        assert carrier_period_samples(25e3, 2.4e6) == 96
+        assert carrier_period_samples(-25e3, 2.4e6) == 96
+        assert carrier_period_samples(0.0, 2.4e6) == 1
+
+    def test_irrational_offset_unsupported(self):
+        # An offset with no small rational relation to fs has no
+        # periodic carrier tile; the wrapper must fall back.
+        assert not pallas_channelizer_supported(
+            2891, 50, (25e3 * np.sqrt(2),), 2.4e6
+        )
+
+    def test_ais_wideband_supported(self):
+        taps = low_pass(1.0, 2.4e6, 11e3, 2e3)
+        assert pallas_channelizer_supported(taps.size, 50, (-25e3, 25e3), 2.4e6)
+
+
+class TestKernelParity:
+    @pytest.mark.parametrize("start", [0, 12345])
+    def test_wideband_config_matches_xla(self, start):
+        # The production geometry: D=50, ~2.9k taps, +-25 kHz @ 2.4 Msps.
+        rate, decim, offsets = 2.4e6, 50, (-25e3, 25e3)
+        taps = low_pass(1.0, rate, 11e3, 2e3)
+        rng = np.random.default_rng(7)
+        n_in = 80_000  # ~2 output tiles of 768
+        iq = (
+            (rng.normal(size=n_in) + 1j * rng.normal(size=n_in)) * 0.3
+        ).astype(np.complex64)
+        phase0s = np.stack([mixer_phase(o, rate, start) for o in offsets])
+
+        ref = _xla_reference(iq, taps, decim, offsets, rate, phase0s)
+        chan = PallasChannelizer(taps, decim, offsets, rate, n_in,
+                                 interpret=True)
+        got = np.asarray(chan(jnp.asarray(to_planes(iq)), jnp.asarray(phase0s)))
+        assert got.shape == ref.shape
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=2e-4)
+
+    def test_alternate_geometry(self):
+        # Different decim/taps/offset exercise the generic tile search
+        # (P smaller than a lane group, zero offset -> period 1).
+        rate, decim, offsets = 240e3, 5, (0.0, 60e3)
+        taps = low_pass(1.0, rate, 20e3, 8e3)
+        rng = np.random.default_rng(3)
+        n_in = 20_000
+        iq = (
+            (rng.normal(size=n_in) + 1j * rng.normal(size=n_in)) * 0.3
+        ).astype(np.complex64)
+        phase0s = np.stack([mixer_phase(o, rate, 999) for o in offsets])
+        ref = _xla_reference(iq, taps, decim, offsets, rate, phase0s)
+        chan = PallasChannelizer(taps, decim, offsets, rate, n_in,
+                                 interpret=True)
+        got = np.asarray(chan(jnp.asarray(to_planes(iq)), jnp.asarray(phase0s)))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=2e-4)
+
+    def test_composes_under_jit(self):
+        # The fused wire program traces the channelizer inside one jit.
+        rate, decim, offsets = 2.4e6, 50, (-25e3, 25e3)
+        taps = low_pass(1.0, rate, 11e3, 2e3)
+        n_in = 40_000
+        rng = np.random.default_rng(11)
+        iq = (
+            (rng.normal(size=n_in) + 1j * rng.normal(size=n_in)) * 0.3
+        ).astype(np.complex64)
+        phase0s = np.stack([mixer_phase(o, rate, 0) for o in offsets])
+        chan = PallasChannelizer(taps, decim, offsets, rate, n_in,
+                                 interpret=True)
+
+        @jax.jit
+        def fused(planes, ph):
+            return jnp.sum(jnp.abs(chan(planes, ph)) ** 2)
+
+        v = float(fused(jnp.asarray(to_planes(iq)), jnp.asarray(phase0s)))
+        ref = _xla_reference(iq, taps, decim, offsets, rate, phase0s)
+        np.testing.assert_allclose(v, np.sum(np.abs(ref) ** 2), rtol=1e-4)
