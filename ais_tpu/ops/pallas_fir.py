@@ -82,15 +82,10 @@ def _geometry(ntaps: int, decim: int, offsets_hz, sample_rate: float):
         m *= 2
     if m > 4096:
         return None
-    # Halo block: a divisor of M, multiple of 8, >= P-1, so the body
-    # and halo BlockSpecs tile the overlapping windows exactly.
-    b_h = None
-    for cand in range(8, m + 1, 8):
-        if m % cand == 0 and cand >= p_rows - 1:
-            b_h = cand
-            break
-    if b_h is None:
-        return None
+    # Halo block: divides M and is a multiple of 128 (Mosaic requires
+    # block dims divisible by (8, 128) unless they span the full array);
+    # P <= 64 so 128 always covers the needed P-1 overlap rows.
+    b_h = 128
     p_pad = 8 * -(-p_rows // 8)
     return m, b_h, p_pad, rows_period
 
@@ -130,51 +125,158 @@ def tap_matrix(taps: np.ndarray, decim: int) -> np.ndarray:
     return h
 
 
-def _chan_kernel(m: int, b_h: int, p_pad: int):
+def _collapse(z, p_pad, span):
+    """Anti-diagonal collapse y[j] = sum_p Z[p, j+p]: rotate row p left
+    by p via log2(P) static whole-array rolls gated on the bits of the
+    sublane index, then one sublane-axis reduction.  No wrap corruption:
+    nonzero tap rows have p <= P-1 <= b_h so j+p <= m-1+b_h = span-1
+    for the kept j < m; rows p >= P are all-zero (padded H) and wrap
+    harmlessly."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (p_pad, span), 0)
+    shift = 1
+    while shift < p_pad:
+        z_s = jnp.concatenate([z[:, shift:], z[:, :shift]], axis=1)
+        z = jnp.where((row & shift) != 0, z_s, z)
+        shift *= 2
+    return jnp.sum(z, axis=0, keepdims=True)  # (1, span)
+
+
+def _chan_kernel(m: int, b_h: int, p_pad: int, n_chan: int):
     span = m + b_h
 
     def kernel(xr_m, xi_m, xr_h, xi_h, car, h, outr, outi):
         xr = jnp.concatenate([xr_m[:], xr_h[:]], axis=1)  # (D, span)
         xi = jnp.concatenate([xi_m[:], xi_h[:]], axis=1)
-        cr = car[0, 0]
-        ci = car[0, 1]
-        mr = xr * cr - xi * ci
-        mi = xr * ci + xi * cr
-        zr = jnp.dot(h[:], mr, preferred_element_type=jnp.float32)
-        zi = jnp.dot(h[:], mi, preferred_element_type=jnp.float32)
-        # Anti-diagonal collapse y[j] = sum_p Z[p, j+p]: rotate row p
-        # left by p via log2(P) static whole-array rolls gated on the
-        # bits of the sublane index, then one sublane-axis reduction.
-        # No wrap corruption: nonzero tap rows have p <= P-1 <= b_h so
-        # j+p <= m-1+b_h = span-1; rows p >= P are all-zero (padded H)
-        # and wrap harmlessly.
-        row = jax.lax.broadcasted_iota(jnp.int32, (p_pad, span), 0)
-        shift = 1
-        while shift < p_pad:
-            zr_s = jnp.concatenate([zr[:, shift:], zr[:, :shift]], axis=1)
-            zi_s = jnp.concatenate([zi[:, shift:], zi[:, :shift]], axis=1)
-            sel = (row & shift) != 0
-            zr = jnp.where(sel, zr_s, zr)
-            zi = jnp.where(sel, zi_s, zi)
-            shift *= 2
-        outr[0, :] = jnp.sum(zr, axis=0, keepdims=True)[0, :m]
-        outi[0, :] = jnp.sum(zi, axis=0, keepdims=True)[0, :m]
+        # Static channel loop: one tile's input feeds every channel, and
+        # the (n_chan, m) output block spans the full channel dim (the
+        # Mosaic block-shape rule disallows per-channel (1, m) blocks).
+        for c in range(n_chan):
+            cr = car[c, 0]
+            ci = car[c, 1]
+            mr = xr * cr - xi * ci
+            mi = xr * ci + xi * cr
+            zr = jnp.dot(h[:], mr, preferred_element_type=jnp.float32)
+            zi = jnp.dot(h[:], mi, preferred_element_type=jnp.float32)
+            outr[c, :] = _collapse(zr, p_pad, span)[0, :m]
+            outi[c, :] = _collapse(zi, p_pad, span)[0, :m]
 
     return kernel
 
 
+def pallas_freq_xlating_polyphase(
+    x: jax.Array,
+    phase0s: jax.Array,
+    car_pat: jax.Array,
+    h_mat: jax.Array,
+    *,
+    ntaps: int,
+    decim: int,
+    offsets,
+    rate: float,
+    n_in: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused mixer + polyphase channelizer, Pallas path.
+
+    Traceable inside an enclosing jit.  `x`: (n_in,) complex64 or
+    (n_in, 2) float planes; `phase0s`: (n_chan,) runtime mixer start
+    phases; `car_pat`/`h_mat`: device buffers from `carrier_pattern` /
+    `tap_matrix`.  Returns (n_chan, n_out) complex64 — same contract as
+    `ops/fir.py:freq_xlating_polyphase`.
+
+    `interpret=None` auto-selects interpreter mode off-TPU so the same
+    pipeline code runs under the CPU test backend.
+    """
+    from ais_tpu.ops.cplx import as_complex_input
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    geo = _geometry(int(ntaps), int(decim), tuple(offsets), float(rate))
+    if geo is None:
+        raise ValueError("geometry unsupported; use the XLA path")
+    m, b_h, p_pad, _ = geo
+    x = as_complex_input(x)
+    span = m + b_h
+    n_rows = n_in // decim
+    n_out = n_rows - (-(-ntaps // decim)) + 1
+    n_chan = len(offsets)
+    n_tiles = -(-n_out // m)
+    pad_rows = n_tiles * m + b_h
+
+    # Phase-major transpose on float planes (ARCHITECTURE.md §4).
+    def prep(plane):
+        v = jnp.moveaxis(plane.reshape(n_rows, decim), -1, -2)
+        return jnp.concatenate(
+            [v, jnp.zeros((decim, pad_rows - n_rows), jnp.float32)],
+            axis=-1,
+        )
+
+    xr, xi = prep(jnp.real(x)), prep(jnp.imag(x))
+
+    # Rotate the periodic carrier tile by the runtime start phase.
+    rot_r = jnp.cos(phase0s)[:, None, None]
+    rot_i = jnp.sin(phase0s)[:, None, None]
+    cr, ci = car_pat[:, 0], car_pat[:, 1]
+    car = jnp.stack(
+        [cr * rot_r - ci * rot_i, cr * rot_i + ci * rot_r], axis=1
+    )  # (n_chan, 2, D, span)
+
+    tiles_per_m = m // b_h
+    kernel = _chan_kernel(m, b_h, p_pad, n_chan)
+    outr, outi = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((decim, m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((decim, m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (decim, b_h),
+                lambda i, t=tiles_per_m: (0, i * t + t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (decim, b_h),
+                lambda i, t=tiles_per_m: (0, i * t + t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((n_chan, 2, decim, span), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad, decim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_chan, m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_chan, m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_chan, n_tiles * m), jnp.float32),
+            jax.ShapeDtypeStruct((n_chan, n_tiles * m), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * p_pad * decim * span * n_chan * n_tiles,
+            bytes_accessed=2 * (pad_rows * decim * 4)
+            + 2 * n_chan * n_tiles * m * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xr, xi, xr, xi, car, h_mat)
+    return jax.lax.complex(outr[:, :n_out], outi[:, :n_out])
+
+
 class PallasChannelizer:
-    """Fused mixer+polyphase channelizer on the Pallas path.
+    """Convenience wrapper owning the carrier/tap device buffers.
 
     `__call__(x, phase0s)` -> (n_chan, n_out) complex64, traceable
-    inside an enclosing jit; `x` is (n_in,) complex64 (or (n_in, 2)
-    float planes), `phase0s` the per-channel runtime mixer start phase.
-    The periodic carrier pattern and the tap matrix are device buffers
-    created once at construction.
+    inside an enclosing jit (`pallas_freq_xlating_polyphase`).
     """
 
     def __init__(self, taps: np.ndarray, decim: int, offsets_hz,
-                 sample_rate: float, n_in: int, interpret: bool = False):
+                 sample_rate: float, n_in: int,
+                 interpret: bool | None = None):
         t = np.asarray(taps, np.float32)
         geo = _geometry(t.size, int(decim), tuple(offsets_hz),
                         float(sample_rate))
@@ -188,7 +290,7 @@ class PallasChannelizer:
         self.offsets = tuple(float(o) for o in offsets_hz)
         self.rate = float(sample_rate)
         self.n_in = int(n_in)
-        self.interpret = bool(interpret)
+        self.interpret = interpret
         self.car_pat = jax.device_put(
             carrier_pattern(self.offsets, self.rate, self.decim, self.ntaps)
         )
@@ -199,76 +301,198 @@ class PallasChannelizer:
         return self.n_in // self.decim - (-(-self.ntaps // self.decim)) + 1
 
     def __call__(self, x: jax.Array, phase0s: jax.Array) -> jax.Array:
-        from ais_tpu.ops.cplx import as_complex_input
+        return pallas_freq_xlating_polyphase(
+            x, phase0s, self.car_pat, self.h_mat,
+            ntaps=self.ntaps, decim=self.decim, offsets=self.offsets,
+            rate=self.rate, n_in=self.n_in, interpret=self.interpret,
+        )
 
-        x = as_complex_input(x)
-        m, b_h, p_pad, decim = self.m, self.b_h, self.p_pad, self.decim
-        span = m + b_h
-        n_rows = self.n_in // decim
-        n_out = self.n_out
-        n_chan = len(self.offsets)
-        n_tiles = -(-n_out // m)
-        pad_rows = n_tiles * m + b_h
 
-        # Phase-major transpose on float planes (ARCHITECTURE.md §4).
-        def prep(plane):
-            v = jnp.moveaxis(plane.reshape(n_rows, decim), -1, -2)
-            return jnp.concatenate(
-                [v, jnp.zeros((decim, pad_rows - n_rows), jnp.float32)],
-                axis=-1,
-            )
+# ---------------------------------------------------------------------------
+# Fused wire-ingest channelizer: packed integer IQ bytes -> channels.
+#
+# The exec-split probe (tools/tpu_exec_profile.py) showed the XLA
+# integer-IQ unpack (`ops/convert.py`) costing MORE than the channelizer
+# itself (28 ms vs 26 ms per 9.64 Ms step): the even/odd lane
+# interleaves lower to pathological relayouts on this backend, and the
+# full-rate float planes make an HBM round trip between the two stages.
+# This kernel decodes the wire bytes, mixes, filters and decimates in
+# ONE VMEM-resident pass per tile.
+#
+# The interleave problem is solved STATICALLY: the decode step yields
+# sample lanes in a permuted order (e.g. ci2 gives [0,2,..,48,1,3,..,49]
+# within each 50-sample row), and instead of shuffling data lanes we
+# permute the TAP MATRIX rows and CARRIER lanes to match — host-side,
+# once.  The MXU contracts over lanes in any order.
+# ---------------------------------------------------------------------------
 
-        xr, xi = prep(jnp.real(x)), prep(jnp.imag(x))
+_WIRE_PERMS = {
+    # fmt -> (bytes per decim-row maker, lane permutation maker)
+    "ci2": (lambda d: d // 2, lambda d: np.r_[np.arange(0, d, 2), np.arange(1, d, 2)]),
+    "ci4": (lambda d: d, lambda d: np.arange(d)),
+}
 
-        # Rotate the periodic carrier tile by the runtime start phase.
-        rot_r = jnp.cos(phase0s)[:, None, None]
-        rot_i = jnp.sin(phase0s)[:, None, None]
-        cr, ci = self.car_pat[:, 0], self.car_pat[:, 1]
-        car = jnp.stack(
-            [cr * rot_r - ci * rot_i, cr * rot_i + ci * rot_r], axis=1
-        )  # (n_chan, 2, D, span)
 
-        tiles_per_m = m // b_h
-        kernel = _chan_kernel(m, b_h, p_pad)
-        outr, outi = pl.pallas_call(
-            kernel,
-            grid=(n_chan, n_tiles),
-            in_specs=[
-                pl.BlockSpec((decim, m), lambda c, i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((decim, m), lambda c, i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (decim, b_h),
-                    lambda c, i, t=tiles_per_m: (0, i * t + t),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (decim, b_h),
-                    lambda c, i, t=tiles_per_m: (0, i * t + t),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec((1, 2, decim, span), lambda c, i: (c, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((p_pad, decim), lambda c, i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((1, m), lambda c, i: (c, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, m), lambda c, i: (c, i),
-                             memory_space=pltpu.VMEM),
+def wire_channelizer_supported(fmt: str, ntaps: int, decim: int,
+                               offsets_hz, sample_rate: float) -> bool:
+    if fmt not in _WIRE_PERMS:
+        return False
+    if fmt == "ci2" and decim % 2:
+        return False
+    return pallas_channelizer_supported(ntaps, decim, offsets_hz, sample_rate)
+
+
+def wire_channelizer_buffers(fmt: str, taps: np.ndarray, decim: int,
+                             offsets_hz, sample_rate: float):
+    """(carrier tile, tap matrix) with lanes permuted for `fmt`'s decode
+    order.  Carrier is row-major here: (n_chan, 2, span, D_perm)."""
+    t = np.asarray(taps, np.float32)
+    perm = _WIRE_PERMS[fmt][1](decim)
+    m, b_h, p_pad, _ = _geometry(t.size, decim, tuple(offsets_hz),
+                                 float(sample_rate))
+    span = m + b_h
+    n = np.arange(span * decim, dtype=np.float64)
+    car = np.empty((len(offsets_hz), 2, span, decim), np.float32)
+    for c, off in enumerate(offsets_hz):
+        ph = np.remainder(-2.0 * np.pi * (off / sample_rate) * n, 2 * np.pi)
+        cplx = np.exp(1j * ph).reshape(span, decim)[:, perm]
+        car[c, 0] = cplx.real.astype(np.float32)
+        car[c, 1] = cplx.imag.astype(np.float32)
+    h = np.zeros((p_pad, decim), np.float32)
+    h.flat[: t.size] = t
+    h_perm = np.ascontiguousarray(h[:, perm].T)  # (D_perm, p_pad)
+    return car, h_perm
+
+
+def _decode_ci2(b32):
+    """(span, D/2) int32 bytes -> re, im (span, D) in [evens, odds] lane
+    order; Lloyd-Max levels (must match ops/convert.py:iq_from_bytes_ci2)."""
+    from ais_tpu.ops.convert import CI2_INNER, CI2_OUTER
+
+    def dec(c):
+        m = c.astype(jnp.float32) - 1.5
+        mag = jnp.where(jnp.abs(m) > 1.0, CI2_OUTER, CI2_INNER)
+        return jnp.sign(m) * mag
+
+    re = jnp.concatenate([dec(b32 >> 6), dec((b32 >> 2) & 3)], axis=1)
+    im = jnp.concatenate([dec((b32 >> 4) & 3), dec(b32 & 3)], axis=1)
+    return re, im
+
+
+def _decode_ci4(b32, scale=1.0 / 8.0):
+    """(span, D) int32 bytes -> re, im (span, D), identity lane order
+    (must match ops/convert.py:iq_from_bytes_ci4)."""
+    i = b32 >> 4
+    q = b32 & 15
+    i = i - 16 * (i >= 8)
+    q = q - 16 * (q >= 8)
+    return i.astype(jnp.float32) * scale, q.astype(jnp.float32) * scale
+
+
+def _wire_kernel(fmt: str, m: int, b_h: int, p_pad: int, decim: int,
+                 n_chan: int):
+    span = m + b_h
+    decode = {"ci2": _decode_ci2, "ci4": _decode_ci4}[fmt]
+
+    def kernel(b_m, b_h_ref, car, h, outr, outi):
+        b = jnp.concatenate([b_m[:], b_h_ref[:]], axis=0).astype(jnp.int32)
+        xr, xi = decode(b)                       # (span, D) permuted lanes
+        for c in range(n_chan):
+            cr = car[c, 0]
+            ci = car[c, 1]
+            mr = xr * cr - xi * ci
+            mi = xr * ci + xi * cr
+            zr = jnp.dot(mr, h[:], preferred_element_type=jnp.float32)
+            zi = jnp.dot(mi, h[:], preferred_element_type=jnp.float32)
+            # Transpose to (P_pad, span) so the anti-diagonal collapse
+            # and the lane-major store reuse the validated v1 shape.
+            outr[c, :] = _collapse(zr.T, p_pad, span)[0, :m]
+            outi[c, :] = _collapse(zi.T, p_pad, span)[0, :m]
+
+    return kernel
+
+
+def pallas_wire_channelizer(
+    raw_u8: jax.Array,
+    phase0s: jax.Array,
+    car_pat: jax.Array,
+    h_mat: jax.Array,
+    *,
+    fmt: str,
+    ntaps: int,
+    decim: int,
+    offsets,
+    rate: float,
+    n_in: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Packed integer IQ wire bytes -> (n_chan, n_out) channels, fused.
+
+    `raw_u8`: the wire buffer for n_in complex samples (ci2: n_in/2
+    bytes, ci4: n_in bytes); `car_pat`/`h_mat` from
+    `wire_channelizer_buffers(fmt, ...)`.  Replaces
+    `iq_from_bytes_*` + `freq_xlating_polyphase` in the wire program.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    geo = _geometry(int(ntaps), int(decim), tuple(offsets), float(rate))
+    if geo is None or fmt not in _WIRE_PERMS:
+        raise ValueError("geometry/format unsupported; use the XLA path")
+    m, b_h, p_pad, _ = geo
+    span = m + b_h
+    bpr = _WIRE_PERMS[fmt][0](decim)  # wire bytes per decim-row
+    n_rows = n_in // decim
+    n_out = n_rows - (-(-ntaps // decim)) + 1
+    n_chan = len(offsets)
+    n_tiles = -(-n_out // m)
+    pad_rows = n_tiles * m + b_h
+
+    b2d = raw_u8.reshape(n_rows, bpr)
+    b2d = jnp.concatenate(
+        [b2d, jnp.zeros((pad_rows - n_rows, bpr), jnp.uint8)], axis=0
+    )
+
+    rot_r = jnp.cos(phase0s)[:, None, None]
+    rot_i = jnp.sin(phase0s)[:, None, None]
+    cr, ci = car_pat[:, 0], car_pat[:, 1]
+    car = jnp.stack(
+        [cr * rot_r - ci * rot_i, cr * rot_i + ci * rot_r], axis=1
+    )  # (n_chan, 2, span, D)
+
+    tiles_per_m = m // b_h
+    kernel = _wire_kernel(fmt, m, b_h, p_pad, decim, n_chan)
+    outr, outi = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((m, bpr), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (b_h, bpr),
+                lambda i, t=tiles_per_m: (i * t + t, 0),
+                memory_space=pltpu.VMEM,
             ),
-            out_shape=(
-                jax.ShapeDtypeStruct((n_chan, n_tiles * m), jnp.float32),
-                jax.ShapeDtypeStruct((n_chan, n_tiles * m), jnp.float32),
-            ),
-            cost_estimate=pl.CostEstimate(
-                flops=4 * p_pad * decim * span * n_chan * n_tiles,
-                bytes_accessed=2 * (pad_rows * decim * 4) * n_chan
-                + 2 * n_chan * n_tiles * m * 4,
-                transcendentals=0,
-            ),
-            interpret=self.interpret,
-        )(xr, xi, xr, xi, car, self.h_mat)
-        return jax.lax.complex(outr[:, :n_out], outi[:, :n_out])
+            pl.BlockSpec((n_chan, 2, span, decim), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((decim, p_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_chan, m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_chan, m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_chan, n_tiles * m), jnp.float32),
+            jax.ShapeDtypeStruct((n_chan, n_tiles * m), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * p_pad * decim * span * n_chan * n_tiles,
+            bytes_accessed=pad_rows * bpr
+            + 2 * n_chan * n_tiles * m * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(b2d, b2d, car, h_mat)
+    return jax.lax.complex(outr[:, :n_out], outi[:, :n_out])

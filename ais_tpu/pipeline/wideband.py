@@ -156,12 +156,75 @@ def unpack_wire_flat(
     return WireRecords(meta_i, meta_f, packed)
 
 
+def channelizer_mode(cfg: WidebandConfig, n_in: int) -> str:
+    """Which channelizer formulation this process uses: "pallas"|"fft".
+
+    "pallas" (the MXU polyphase-matmul kernel, ops/pallas_fir.py) is the
+    default on the TPU backend when the geometry qualifies (rational
+    channel offsets, P <= 64 phases); "fft" is the XLA frequency-domain
+    path — always used on CPU, where the einsum formulation dispatches
+    underneath anyway.  Env override: AIS_TPU_CHAN=pallas|fft|auto.
+    """
+    import os
+
+    from ais_tpu.ops.pallas_fir import pallas_channelizer_supported
+
+    taps = low_pass(1.0, cfg.input_rate, cfg.cutoff_hz, cfg.transition_hz)
+    ok = n_in % cfg.decimation == 0 and pallas_channelizer_supported(
+        taps.size, cfg.decimation, cfg.offsets_hz, cfg.input_rate
+    )
+    mode = os.environ.get("AIS_TPU_CHAN", "auto").lower()
+    if mode == "fft":
+        return "fft"
+    if mode == "pallas":
+        if not ok:
+            raise ValueError("AIS_TPU_CHAN=pallas but geometry unsupported")
+        return "pallas"
+    return "pallas" if (ok and jax.default_backend() != "cpu") else "fft"
+
+
+def channelizer_buffers(cfg: WidebandConfig, n_in: int):
+    """Mode-matched device-buffer pair (carriers, hf) for `channelize`.
+
+    fft mode: full-length mixer-carrier planes + polyphase tap spectra.
+    pallas mode: the periodic carrier tile + the (P_pad, D) tap matrix
+    (the full-length carrier buffer — ~150 MB at the bench geometry —
+    is not needed at all).
+    """
+    from ais_tpu.ops.cplx import to_planes
+    from ais_tpu.ops.fir import _mixer_carrier, polyphase_spectra
+
+    taps = low_pass(1.0, cfg.input_rate, cfg.cutoff_hz, cfg.transition_hz)
+    if channelizer_mode(cfg, n_in) == "pallas":
+        from ais_tpu.ops.pallas_fir import carrier_pattern, tap_matrix
+
+        return (
+            carrier_pattern(
+                cfg.offsets_hz, cfg.input_rate, cfg.decimation, taps.size
+            ),
+            tap_matrix(taps, cfg.decimation),
+        )
+    n_out = (n_in - taps.size) // cfg.decimation + 1
+    return (
+        to_planes(
+            np.concatenate(
+                [_mixer_carrier(off, cfg.input_rate, n_in) for off in cfg.offsets_hz]
+            )
+        ),
+        to_planes(polyphase_spectra(taps, cfg.decimation, n_out)),
+    )
+
+
 def make_wideband_fns(cfg: WidebandConfig, n_in: int):
     """Build the two jittable halves of the wideband pipeline.
 
     Returns (channelize_fn, demod_fn):
       channelize_fn(x, phase0s, carriers, hf) -> (n_chan, n48) channels
       demod_fn(chans) -> BurstRecords with leading (n_chan, n_blocks)
+
+    `carriers`/`hf` are the mode-matched buffers from
+    `channelizer_buffers` (FFT path: carrier planes + tap spectra;
+    Pallas path: periodic carrier tile + tap matrix).
 
     Two programs instead of one: the tunnel backend's remote compiler
     has a hard time budget, and the fused graph exceeds it; split, each
@@ -174,6 +237,21 @@ def make_wideband_fns(cfg: WidebandConfig, n_in: int):
     n_chan, n_blocks, core_len = wideband_geometry(cfg, n_in)
     block_demod = make_burst_demod(demod_cfg, cfg.block_len, core_len)
     halo = cfg.block_len - core_len
+
+    if channelizer_mode(cfg, n_in) == "pallas":
+        from ais_tpu.ops.pallas_fir import pallas_freq_xlating_polyphase
+
+        def channelize_pallas(
+            x: jax.Array, phase0s: jax.Array, carriers: jax.Array,
+            hf: jax.Array,
+        ) -> jax.Array:
+            # MXU polyphase-matmul kernel; `carriers` is the periodic
+            # mixer tile and `hf` the (P_pad, D) tap matrix.
+            return pallas_freq_xlating_polyphase(
+                x, phase0s, carriers, hf,
+                ntaps=taps.size, decim=cfg.decimation,
+                offsets=cfg.offsets_hz, rate=cfg.input_rate, n_in=n_in,
+            )
 
     def channelize(
         x: jax.Array, phase0s: jax.Array, carriers: jax.Array, hf: jax.Array
@@ -207,6 +285,8 @@ def make_wideband_fns(cfg: WidebandConfig, n_in: int):
             lambda a: a.reshape(n_chan, n_blocks, *a.shape[1:]), rec
         )
 
+    if channelizer_mode(cfg, n_in) == "pallas":
+        return channelize_pallas, demod
     return channelize, demod
 
 
@@ -259,30 +339,14 @@ class WidebandReceiver:
         _chan, _demod = make_wideband_fns(cfg, n_in)
         self._chan_fn = jax.jit(_chan)
         self._demod_fn = jax.jit(_demod)
-        from ais_tpu.ops.fir import _mixer_carrier, polyphase_spectra
-        from ais_tpu.ops.firdes import low_pass as _low_pass
-        import jax as _jax
-
-        _taps = _low_pass(1.0, cfg.input_rate, cfg.cutoff_hz, cfg.transition_hz)
-        _n_out = (n_in - _taps.size) // cfg.decimation + 1
-        # Shipped as float planes: complex arrays cannot cross the TPU
-        # host/device boundary at all (ops/cplx.py); the kernel rebuilds
-        # complex and the polyphase row layout on device.
-        from ais_tpu.ops.cplx import to_planes
-
-        self._carriers = _jax.device_put(
-            to_planes(
-                np.concatenate(
-                    [
-                        _mixer_carrier(off, cfg.input_rate, n_in)
-                        for off in cfg.offsets_hz
-                    ]
-                )
-            )
-        )
-        self._hf = _jax.device_put(
-            to_planes(polyphase_spectra(_taps, cfg.decimation, _n_out))
-        )
+        # Mode-matched channelizer buffers, shipped as float planes /
+        # real matrices: complex arrays cannot cross the TPU host/device
+        # boundary at all (ops/cplx.py).  On the Pallas path these are a
+        # periodic carrier tile + tap matrix (<1 MB) instead of the
+        # ~150 MB full-length carrier planes.
+        _car, _hf = channelizer_buffers(cfg, n_in)
+        self._carriers = jax.device_put(_car)
+        self._hf = jax.device_put(_hf)
         # Raw samples consumed per call (stream advance).
         self.step_raw = self.n_blocks * self.core_len * cfg.decimation
         self._buf = np.zeros(0, dtype=np.complex64)
@@ -356,12 +420,49 @@ class WidebandReceiver:
             )
         if not hasattr(self, "_wire_fns"):
             self._wire_fns = {}
+            self._wire_bufs = {}
         if fmt not in self._wire_fns:
             chan, demod = make_wideband_fns(self.cfg, self.n_in)
             fftlen = self.cfg.demod.fftlen
+            cfg = self.cfg
+            taps = low_pass(1.0, cfg.input_rate, cfg.cutoff_hz, cfg.transition_hz)
+            from ais_tpu.ops.pallas_fir import (
+                pallas_wire_channelizer,
+                wire_channelizer_buffers,
+                wire_channelizer_supported,
+            )
 
-            def fn(raw, ph, car, hf):
-                return pack_wire_flat(demod(chan(conv(raw), ph, car, hf)), fftlen)
+            if channelizer_mode(cfg, self.n_in) == "pallas" and (
+                wire_channelizer_supported(
+                    fmt, taps.size, cfg.decimation, cfg.offsets_hz,
+                    cfg.input_rate,
+                )
+            ):
+                # Fully fused ingest: bytes -> decode -> mix -> polyphase
+                # in one Pallas pass (the XLA unpack alone costs more
+                # than the whole kernel — see tools/tpu_exec_profile.py).
+                wc, wh = wire_channelizer_buffers(
+                    fmt, taps, cfg.decimation, cfg.offsets_hz, cfg.input_rate
+                )
+                self._wire_bufs[fmt] = (
+                    jax.device_put(wc), jax.device_put(wh)
+                )
+                n_in = self.n_in
+
+                def fn(raw, ph, car, hf):
+                    chans = pallas_wire_channelizer(
+                        raw, ph, car, hf, fmt=fmt, ntaps=taps.size,
+                        decim=cfg.decimation, offsets=cfg.offsets_hz,
+                        rate=cfg.input_rate, n_in=n_in,
+                    )
+                    return pack_wire_flat(demod(chans), fftlen)
+
+            else:
+
+                def fn(raw, ph, car, hf):
+                    return pack_wire_flat(
+                        demod(chan(conv(raw), ph, car, hf)), fftlen
+                    )
 
             self._wire_fns[fmt] = jax.jit(fn)
         at = self._pos if pos is None else int(pos)
@@ -380,7 +481,10 @@ class WidebandReceiver:
         a handle for `collect()` (the jitted call does not block, so the
         result is a future)."""
         buf, ph, at, fmt = staged
-        rec = self._wire_fns[fmt](buf, ph, self._carriers, self._hf)
+        car, hf = getattr(self, "_wire_bufs", {}).get(
+            fmt, (self._carriers, self._hf)
+        )
+        rec = self._wire_fns[fmt](buf, ph, car, hf)
         return (rec, at // self.cfg.decimation)
 
     def submit_wire(self, raw_u8: np.ndarray, fmt: str = "ci8", pos: int | None = None):

@@ -122,3 +122,46 @@ class TestKernelParity:
         v = float(fused(jnp.asarray(to_planes(iq)), jnp.asarray(phase0s)))
         ref = _xla_reference(iq, taps, decim, offsets, rate, phase0s)
         np.testing.assert_allclose(v, np.sum(np.abs(ref) ** 2), rtol=1e-4)
+
+
+class TestWireKernelParity:
+    """Fused bytes->channels kernel vs XLA convert + channelize."""
+
+    @pytest.mark.parametrize("fmt", ["ci2", "ci4"])
+    def test_wire_matches_xla_convert_plus_chan(self, fmt):
+        from ais_tpu.ops.convert import host_bytes, iq_from_bytes_ci2, iq_from_bytes_ci4
+        from ais_tpu.ops.pallas_fir import (
+            pallas_wire_channelizer,
+            wire_channelizer_buffers,
+            wire_channelizer_supported,
+        )
+
+        rate, decim, offsets = 2.4e6, 50, (-25e3, 25e3)
+        taps = low_pass(1.0, rate, 11e3, 2e3)
+        assert wire_channelizer_supported(fmt, taps.size, decim, offsets, rate)
+        rng = np.random.default_rng(17)
+        n_in = 80_000
+        iq = (
+            (rng.normal(size=n_in) + 1j * rng.normal(size=n_in)) * 0.3
+        ).astype(np.complex64)
+        raw = host_bytes(iq, fmt)
+        phase0s = np.stack([mixer_phase(o, rate, 777) for o in offsets])
+
+        conv = {"ci2": iq_from_bytes_ci2, "ci4": iq_from_bytes_ci4}[fmt]
+        # Ground truth: XLA decode then XLA channelize on the SAME
+        # quantized samples.
+        dec = np.asarray(conv(jnp.asarray(raw)))
+        ref = _xla_reference(dec.astype(np.complex64), taps, decim, offsets,
+                             rate, phase0s)
+
+        car, h = wire_channelizer_buffers(fmt, taps, decim, offsets, rate)
+        got = np.asarray(
+            pallas_wire_channelizer(
+                jnp.asarray(raw), jnp.asarray(phase0s), jnp.asarray(car),
+                jnp.asarray(h), fmt=fmt, ntaps=taps.size, decim=decim,
+                offsets=offsets, rate=rate, n_in=n_in, interpret=True,
+            )
+        )
+        assert got.shape == ref.shape
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=2e-4)

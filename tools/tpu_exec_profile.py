@@ -50,12 +50,12 @@ def main() -> int:
         iq_from_bytes_ci4,
         iq_from_bytes_ci8,
     )
-    from ais_tpu.ops.cplx import to_planes
-    from ais_tpu.ops.fir import _mixer_carrier, mixer_phase, polyphase_spectra
-    from ais_tpu.ops.firdes import low_pass
+    from ais_tpu.ops.fir import mixer_phase
     from ais_tpu.pipeline.receiver import burst_table_geometry
     from ais_tpu.pipeline.wideband import (
         WidebandConfig,
+        channelizer_buffers,
+        channelizer_mode,
         make_wideband_fns,
         num_taps,
         pack_wire_flat,
@@ -78,16 +78,8 @@ def main() -> int:
     _, n_sym = burst_table_geometry(demod_cfg)
     fftlen = cfg.demod.fftlen
 
-    taps = low_pass(1.0, cfg.input_rate, cfg.cutoff_hz, cfg.transition_hz)
-    n_out = (n_in - taps.size) // cfg.decimation + 1
-    carriers = jax.device_put(
-        to_planes(
-            np.concatenate(
-                [_mixer_carrier(off, cfg.input_rate, n_in) for off in cfg.offsets_hz]
-            )
-        )
-    )
-    hf = jax.device_put(to_planes(polyphase_spectra(taps, cfg.decimation, n_out)))
+    _car, _hf = channelizer_buffers(cfg, n_in)
+    carriers, hf = jax.device_put(_car), jax.device_put(_hf)
     phase0s = jnp.asarray(
         np.stack([mixer_phase(off, cfg.input_rate, 0) for off in cfg.offsets_hz])
     )
@@ -143,6 +135,7 @@ def main() -> int:
                 "probe": "wideband_exec_split",
                 "device": str(jax.devices()[0]),
                 "fmt": args.fmt,
+                "channelizer": channelizer_mode(cfg, n_in),
                 "n_in": n_in,
                 **split,
                 "msps_exec_only": round(n_in / med["pack"] / 1e6, 1),

@@ -64,6 +64,9 @@ def _worker(widx, n_workers, fmt, iters, lock, barrier, out_q):
         with lock:
             rx.decode_wire(wire, fmt)
         fn = rx._wire_fns[fmt]
+        car, hf = getattr(rx, "_wire_bufs", {}).get(
+            fmt, (rx._carriers, rx._hf)
+        )
         phase0s = np.stack(
             [mixer_phase(off, cfg.input_rate, 0) for off in cfg.offsets_hz]
         )
@@ -77,7 +80,7 @@ def _worker(widx, n_workers, fmt, iters, lock, barrier, out_q):
             buf.block_until_ready()  # own-connection transfer, concurrent
             with lock:  # one execution on the chip at a time
                 te = time.time()
-                flat = fn(buf, ph, rx._carriers, rx._hf)
+                flat = fn(buf, ph, car, hf)
                 flat.block_until_ready()
                 exec_s += time.time() - te
             np.asarray(flat)  # fetch outside the lock

@@ -70,6 +70,9 @@ def main() -> int:
 
     # Phase 2: exec with input already on device.
     fn = rx._wire_fns[args.fmt]
+    car, hf = getattr(rx, "_wire_bufs", {}).get(
+        args.fmt, (rx._carriers, rx._hf)
+    )
     from ais_tpu.ops.fir import mixer_phase
 
     phase0s = np.stack(
@@ -79,7 +82,7 @@ def main() -> int:
     ts = []
     for _ in range(args.iters):
         t0 = time.time()
-        flat = fn(buf, ph, rx._carriers, rx._hf)
+        flat = fn(buf, ph, car, hf)
         flat.block_until_ready()
         ts.append(time.time() - t0)
     out["exec_s"] = round(min(ts), 4)
