@@ -155,8 +155,13 @@ def _chan_kernel(m: int, b_h: int, p_pad: int, n_chan: int):
             ci = car[c, 1]
             mr = xr * cr - xi * ci
             mi = xr * ci + xi * cr
-            zr = jnp.dot(h[:], mr, preferred_element_type=jnp.float32)
-            zi = jnp.dot(h[:], mi, preferred_element_type=jnp.float32)
+            # HIGHEST: the MXU's default bf16-input pass loses ~8
+            # mantissa bits (~4e-3 rel err) — audible as correlation
+            # floor noise; full-f32 passes keep the filter exact.
+            zr = jnp.dot(h[:], mr, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            zi = jnp.dot(h[:], mi, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
             outr[c, :] = _collapse(zr, p_pad, span)[0, :m]
             outi[c, :] = _collapse(zi, p_pad, span)[0, :m]
 
@@ -402,8 +407,10 @@ def _wire_kernel(fmt: str, m: int, b_h: int, p_pad: int, decim: int,
             ci = car[c, 1]
             mr = xr * cr - xi * ci
             mi = xr * ci + xi * cr
-            zr = jnp.dot(mr, h[:], preferred_element_type=jnp.float32)
-            zi = jnp.dot(mi, h[:], preferred_element_type=jnp.float32)
+            zr = jnp.dot(mr, h[:], preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            zi = jnp.dot(mi, h[:], preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
             # Transpose to (P_pad, span) so the anti-diagonal collapse
             # and the lane-major store reuse the validated v1 shape.
             outr[c, :] = _collapse(zr.T, p_pad, span)[0, :m]
