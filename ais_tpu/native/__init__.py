@@ -51,7 +51,13 @@ def load():
     global _lib, _build_attempted
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    src = _HERE / "ais_native.cpp"
+    stale = (
+        _LIB_PATH.exists()
+        and src.exists()
+        and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    )
+    if not _LIB_PATH.exists() or stale:
         if _build_attempted or os.environ.get("AIS_TPU_NO_NATIVE"):
             return None
         _build_attempted = True
@@ -79,6 +85,12 @@ def load():
         ctypes.c_int64,
         ctypes.c_float,
         ctypes.c_float,
+    ]
+    lib.sigma_delta_ci1.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.crc16_x25.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
     lib.crc16_x25.restype = ctypes.c_uint16
@@ -130,6 +142,27 @@ def iq_convert(raw: np.ndarray, fmt: str) -> np.ndarray:
     else:
         raise ValueError(f"unsupported native format {fmt!r}")
     return out.view(np.complex64)
+
+
+def sigma_delta_ci1(iq: np.ndarray, scale: float) -> np.ndarray:
+    """First-order sigma-delta 1-bit encode (ci1 wire format).
+
+    `iq`: complex64 (n,) with n % 4 == 0; `scale` maps the signal into
+    the unit-level quantizer domain (gain / rms).  Returns (n/4,) uint8.
+    Numpy twin: ais_tpu.ops.convert._sigma_delta_ci1_numpy.
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    iq = np.ascontiguousarray(iq, dtype=np.complex64)
+    out = np.empty(iq.size // 4, dtype=np.uint8)
+    lib.sigma_delta_ci1(
+        iq.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        iq.size,
+        float(scale),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
 
 
 def crc16_x25(data: bytes) -> int:

@@ -99,6 +99,54 @@ def iq_from_bytes_ci2(raw_u8: jax.Array) -> jax.Array:
     return jax.lax.complex(dec(re), dec(im))
 
 
+# ci1 encoder gain: signal RMS as a fraction of the 1-bit quantizer
+# level.  0.35 keeps the first-order sigma-delta loop far from overload
+# (peaks ~4 RMS stay inside the stable input range) while the in-band
+# shaped noise stays ~40 dB below the per-channel signal after the
+# channelizer's low-pass.
+CI1_GAIN = 0.35
+
+
+def iq_from_bytes_ci1(raw_u8: jax.Array) -> jax.Array:
+    """(n/4,) uint8 sigma-delta 1-bit IQ -> (n,) complex64 (levels ±1).
+
+    Wire layout (host_bytes / native sigma_delta_ci1): 4 complex samples
+    per byte, MSB-first I0 Q0 I1 Q1 I2 Q2 I3 Q3.  The decoder is a plain
+    ±1 mapping — all the intelligence is in the ENCODER's first-order
+    noise shaping, which pushes the 1-bit quantization noise above the
+    AIS channel band (< ±36 kHz of a 2.4 Msps capture, OSR ≈ 33) where
+    the channelizer's 11 kHz low-pass removes it.  This is exactly the
+    1-bit sigma-delta front-end architecture of commodity ADCs; at full
+    channel load content parity is 1.0 where hard limiting (no shaping)
+    loses >3% of packets (tests/test_convert_ci1.py).
+    """
+    v = raw_u8.astype(jnp.int32)
+    f = [(v >> s) & 1 for s in (7, 5, 3, 1)]  # I0..I3
+    g = [(v >> s) & 1 for s in (6, 4, 2, 0)]  # Q0..Q3
+    re = jnp.stack(f, axis=-1).reshape(v.shape[-1] * 4)
+    im = jnp.stack(g, axis=-1).reshape(v.shape[-1] * 4)
+    lvl = lambda b: b.astype(jnp.float32) * 2.0 - 1.0  # noqa: E731
+    return jax.lax.complex(lvl(re), lvl(im))
+
+
+def _sigma_delta_ci1_numpy(iq: np.ndarray, scale: float) -> np.ndarray:
+    """Pure-numpy twin of native.sigma_delta_ci1 (slow; tests + fallback)."""
+    re = iq.real.astype(np.float64) * scale
+    im = iq.imag.astype(np.float64) * scale
+    bits = np.empty(2 * iq.size, np.uint8)  # I0 Q0 I1 Q1 ... transmission order
+    ei = eq = 0.0
+    for n in range(iq.size):
+        si = re[n] + ei
+        sq = im[n] + eq
+        bi = 1 if si >= 0 else 0
+        bq = 1 if sq >= 0 else 0
+        ei = min(4.0, max(-4.0, si - (2 * bi - 1)))
+        eq = min(4.0, max(-4.0, sq - (2 * bq - 1)))
+        bits[2 * n] = bi
+        bits[2 * n + 1] = bq
+    return np.packbits(bits)
+
+
 def iq_from_bytes_cu8(raw_u8: jax.Array) -> jax.Array:
     """(2n,) uint8 offset-binary (rtl_sdr) interleaved IQ -> (n,) complex64."""
     v = (raw_u8.astype(jnp.float32) - 127.5) * (1.0 / 127.5)
@@ -156,6 +204,21 @@ def host_bytes(iq: np.ndarray, fmt: str, *, ci2_dither: float = 0.2) -> np.ndarr
         i, q = enc(re), enc(im)
         b = (i[0::2] << 6) | (q[0::2] << 4) | (i[1::2] << 2) | q[1::2]
         return b.astype(np.uint8)
+    if fmt == "ci1":
+        if iq.size % 4:
+            raise ValueError("ci1 packs 4 samples/byte: need size % 4 == 0")
+        rms = float(np.sqrt(0.5 * np.mean(np.abs(iq) ** 2))) or 1.0
+        scale = CI1_GAIN / rms
+        try:
+            from ais_tpu import native
+
+            if native.available():
+                return native.sigma_delta_ci1(
+                    np.ascontiguousarray(iq, np.complex64), scale
+                )
+        except Exception:  # noqa: BLE001 — numpy twin below
+            pass
+        return _sigma_delta_ci1_numpy(np.asarray(iq, np.complex64), scale)
     if fmt == "cu8":
         i = np.round(np.clip(iq.real, -1, 1) * 127.5 + 127.5).astype(np.uint8)
         q = np.round(np.clip(iq.imag, -1, 1) * 127.5 + 127.5).astype(np.uint8)

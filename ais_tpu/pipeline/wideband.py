@@ -332,8 +332,10 @@ class WidebandReceiver:
             n48 = cfg.block_len + core48 * 63
             n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
         # The fused channelizer requires decim-aligned input (no padding
-        # on device — see freq_xlating_polyphase).
-        n_in = -(-n_in // cfg.decimation) * cfg.decimation
+        # on device — see freq_xlating_polyphase); the packed wire
+        # formats additionally need n_in % 4 == 0 (ci1: 4 samples/byte).
+        align = int(np.lcm(cfg.decimation, 4))
+        n_in = -(-n_in // align) * align
         self.n_in = n_in
         self.n_chan, self.n_blocks, self.core_len = wideband_geometry(cfg, n_in)
         _chan, _demod = make_wideband_fns(cfg, n_in)
@@ -397,6 +399,7 @@ class WidebandReceiver:
         subset of steps.
         """
         from ais_tpu.ops.convert import (
+            iq_from_bytes_ci1,
             iq_from_bytes_ci2,
             iq_from_bytes_ci4,
             iq_from_bytes_ci8,
@@ -404,13 +407,15 @@ class WidebandReceiver:
         )
 
         # fmt -> (device converter, wire bytes per sample as num/den).
-        # ci4/ci2 are the packed formats for bandwidth-bound ingest links
-        # (the dev tunnel h2d channel runs ~49 MB/s; see convert.py).
+        # ci4/ci2/ci1 are the packed formats for bandwidth-bound ingest
+        # links (the dev tunnel h2d channel runs ~49 MB/s; see
+        # convert.py — ci1 is sigma-delta encoded, 4 samples/byte).
         table = {
             "ci16": (iq_from_bytes_ci16, 4, 1),
             "ci8": (iq_from_bytes_ci8, 2, 1),
             "ci4": (iq_from_bytes_ci4, 1, 1),
             "ci2": (iq_from_bytes_ci2, 1, 2),
+            "ci1": (iq_from_bytes_ci1, 1, 4),
         }
         conv, num, den = table[fmt]
         want = self.n_in * num // den

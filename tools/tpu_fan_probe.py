@@ -33,7 +33,7 @@ CACHE_DIR = os.path.join(
 )
 
 
-def _worker(widx, n_workers, fmt, iters, lock, barrier, out_q):
+def _worker(widx, n_workers, fmt, iters, blocks, lock, barrier, out_q):
     try:
         os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
         os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.2")
@@ -49,7 +49,7 @@ def _worker(widx, n_workers, fmt, iters, lock, barrier, out_q):
         from ais_tpu.pipeline.wideband import WidebandConfig, WidebandReceiver, num_taps
 
         cfg = WidebandConfig()
-        n48 = cfg.block_len + cfg.core_len * 15
+        n48 = cfg.block_len + cfg.core_len * (blocks - 1)
         n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
         rx = WidebandReceiver(cfg, n_in=n_in)
         n_in = rx.n_in
@@ -96,6 +96,8 @@ def main() -> int:
     ap.add_argument("--workers", type=int, default=2)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--fmt", default="ci4")
+    ap.add_argument("--blocks", type=int, default=16,
+                    help="demod blocks per device call (call size)")
     args = ap.parse_args()
 
     ctx = mp.get_context("spawn")
@@ -105,7 +107,8 @@ def main() -> int:
     procs = [
         ctx.Process(
             target=_worker,
-            args=(w, args.workers, args.fmt, args.iters, lock, barrier, out_q),
+            args=(w, args.workers, args.fmt, args.iters, args.blocks, lock,
+                  barrier, out_q),
             daemon=True,
         )
         for w in range(args.workers)
@@ -129,6 +132,7 @@ def main() -> int:
             {
                 "workers": args.workers,
                 "fmt": args.fmt,
+                "blocks": args.blocks,
                 "iters_per_worker": args.iters,
                 "wall_s": round(wall, 3),
                 "agg_msps": round(total / wall / 1e6, 2),
