@@ -124,13 +124,13 @@ def _geometry():
     return cfg, n_in
 
 
-WIRE_FMT = "ci2"  # 2-bit AGC'd Lloyd-Max IQ, 2 samples/byte: the
-#   ingest link (~50 MB/s tunnel h2d per connection) is the binding
-#   constraint, and after the dithered Lloyd-Max encode the 2-bit
-#   quantization noise lands below the channelizer's 50x processing
-#   gain — content parity stays 1.0 at full load (ops/convert.py,
-#   tests/test_wideband.py).  ci4 is the fallback if a real front end
-#   can't run the AGC-to-quantizer loop ci2 assumes.
+WIRE_FMT = "ci1"  # 1-bit sigma-delta IQ, 4 samples/byte: the ingest
+#   link (~30-50 MB/s tunnel h2d per connection) is the binding
+#   constraint, and the first-order noise shaping (OSR ~ 33 for the AIS
+#   band) keeps the in-band quantization noise ~40 dB under the signal
+#   after the channelizer — content parity stays 1.0 at full load
+#   (ops/convert.py, tests/test_convert_ci1.py).  ci2 (AGC'd Lloyd-Max)
+#   and ci4 remain for front ends without a sigma-delta path.
 
 
 def measure(backend: str) -> dict:
