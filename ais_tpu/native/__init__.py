@@ -106,6 +106,22 @@ def load():
         ctypes.c_int32,
     ]
     lib.hdlc_deframe.restype = ctypes.c_int32
+    lib.hdlc_deframe_packed_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # packed (n_lanes, 2, n_pack)
+        ctypes.POINTER(ctypes.c_int32),   # lanes
+        ctypes.c_int32,                   # n_lanes
+        ctypes.c_int32,                   # n_pack
+        ctypes.c_int32,                   # n_sym
+        ctypes.c_int32,                   # min_len
+        ctypes.c_int32,                   # max_len
+        ctypes.POINTER(ctypes.c_uint8),   # payload_out
+        ctypes.c_int64,                   # payload_capacity
+        ctypes.POINTER(ctypes.c_int32),   # frame_lens
+        ctypes.POINTER(ctypes.c_int64),   # frame_starts
+        ctypes.POINTER(ctypes.c_int32),   # frame_lane
+        ctypes.c_int32,                   # max_frames
+    ]
+    lib.hdlc_deframe_packed_batch.restype = ctypes.c_int32
     _lib = lib
     return _lib
 
@@ -212,5 +228,71 @@ def hdlc_deframe(
     off = 0
     for i in range(n):
         out.append((payload[off : off + lens[i]].tobytes(), int(starts[i])))
+        off += lens[i]
+    return out
+
+
+def hdlc_deframe_packed_batch(
+    packed: np.ndarray,
+    lanes: np.ndarray,
+    n_sym: int,
+    min_len: int = 11,
+    max_len: int = 64,
+    max_frames: int = 512,
+):
+    """Batched HDLC deframe straight from packed wire bit planes.
+
+    `packed`: (n_lanes, 2, n_pack) uint8, plane 0 bits / plane 1
+    bit-valid, MSB-first (pipeline/wideband.py:pack_wire_records layout);
+    `lanes`: int32 flat indices of the valid bursts to deframe.  Returns
+    a list of (payload: bytes, start_bit, lane_list_index) — start_bit
+    in compressed-bit coordinates, identical to `hdlc_deframe`.  ONE
+    native call per record fetch; the per-burst ctypes marshalling it
+    replaces dominated the host back half at full channel load.
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    lanes = np.ascontiguousarray(lanes, dtype=np.int32)
+    n_lanes, two, n_pack = packed.shape[-3:]
+    assert two == 2 and n_sym <= n_pack * 8
+    payload_cap = max_frames * (max_len + 2)
+    payload = np.zeros(payload_cap, dtype=np.uint8)
+    lens = np.zeros(max_frames, dtype=np.int32)
+    starts = np.zeros(max_frames, dtype=np.int64)
+    lane_of = np.zeros(max_frames, dtype=np.int32)
+    n = lib.hdlc_deframe_packed_batch(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lanes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lanes.size,
+        n_pack,
+        n_sym,
+        min_len,
+        max_len,
+        payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        payload_cap,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lane_of.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_frames,
+    )
+    if n < 0:
+        raise ValueError("n_sym exceeds native bit-buffer capacity")
+    if n == max_frames:
+        import logging
+
+        logging.getLogger("ais_tpu").warning(
+            "native hdlc_deframe_packed_batch hit max_frames=%d — possible "
+            "truncation; pass a larger max_frames",
+            max_frames,
+        )
+    out = []
+    off = 0
+    for i in range(n):
+        out.append(
+            (payload[off : off + lens[i]].tobytes(), int(starts[i]),
+             int(lane_of[i]))
+        )
         off += lens[i]
     return out

@@ -92,19 +92,22 @@ uint16_t crc16_x25(const uint8_t* data, int64_t len) {
 
 // -------------------------------------------------------------- HDLC ----
 
-// Deframe unpacked bits (values 0/1).  Frames whose unstuffed content is
-// octet-aligned, within [min_len, max_len] payload octets (FCS excluded)
-// and CRC-valid are written into `payload_out` back to back;
-// `frame_lens[i]` and `frame_starts[i]` (bit index of the opening flag)
-// describe frame i.  Returns the number of frames found (capped at
-// max_frames).  Mirrors ais_tpu.decode.hdlc.deframe.
-int32_t hdlc_deframe(const uint8_t* bits, int64_t n_bits, int32_t min_len,
-                     int32_t max_len, uint8_t* payload_out,
-                     int64_t payload_capacity, int32_t* frame_lens,
-                     int64_t* frame_starts, int32_t max_frames) {
+// Core deframe over unpacked bits (values 0/1); shared by the
+// single-burst and batched entry points below.  Frames whose unstuffed
+// content is octet-aligned, within [min_len, max_len] payload octets
+// (FCS excluded) and CRC-valid are written into `payload_out` starting
+// at *payload_used; `frame_lens[i]` and `frame_starts[i]` (bit index of
+// the opening flag) describe frame i from slot *n_frames_io onward.
+// Mirrors ais_tpu.decode.hdlc.deframe.
+static void deframe_core(const uint8_t* bits, int64_t n_bits,
+                         int32_t min_len, int32_t max_len,
+                         uint8_t* payload_out, int64_t payload_capacity,
+                         int32_t* frame_lens, int64_t* frame_starts,
+                         int32_t max_frames, int32_t* n_frames_io,
+                         int64_t* payload_used_io) {
   if (!crc_ready) crc_init();
-  int32_t n_frames = 0;
-  int64_t payload_used = 0;
+  int32_t n_frames = *n_frames_io;
+  int64_t payload_used = *payload_used_io;
   // State machine: hunt for flag, then collect bits with unstuffing until
   // the closing flag; every flag both closes one frame and opens the next.
   uint8_t shift = 0;         // last 8 bits, newest in LSB? keep MSB-first
@@ -160,6 +163,55 @@ int32_t hdlc_deframe(const uint8_t* bits, int64_t n_bits, int32_t min_len,
     last_flag = i;
   }
   (void)shift;
+  *n_frames_io = n_frames;
+  *payload_used_io = payload_used;
+}
+
+int32_t hdlc_deframe(const uint8_t* bits, int64_t n_bits, int32_t min_len,
+                     int32_t max_len, uint8_t* payload_out,
+                     int64_t payload_capacity, int32_t* frame_lens,
+                     int64_t* frame_starts, int32_t max_frames) {
+  int32_t n_frames = 0;
+  int64_t payload_used = 0;
+  deframe_core(bits, n_bits, min_len, max_len, payload_out,
+               payload_capacity, frame_lens, frame_starts, max_frames,
+               &n_frames, &payload_used);
+  return n_frames;
+}
+
+// Batched deframe straight from the wire-record PACKED bit planes
+// (pipeline/wideband.py:pack_wire_flat layout): `packed` is
+// (n_lanes, 2, n_pack) uint8 with plane 0 = bits, plane 1 = bit-valid,
+// MSB-first within each byte; `lanes` lists the flat lane indices whose
+// valid flag was set.  For each listed lane the valid bits are
+// compressed and deframed; `frame_lane[i]` records which entry of
+// `lanes` produced frame i (frame_starts stay in compressed-bit
+// coordinates, identical to the per-burst path).  ONE ctypes call per
+// collect() replaces ~400 per-burst calls whose marshalling dominated
+// the host back half at full channel load.
+int32_t hdlc_deframe_packed_batch(
+    const uint8_t* packed, const int32_t* lanes, int32_t n_lanes,
+    int32_t n_pack, int32_t n_sym, int32_t min_len, int32_t max_len,
+    uint8_t* payload_out, int64_t payload_capacity, int32_t* frame_lens,
+    int64_t* frame_starts, int32_t* frame_lane, int32_t max_frames) {
+  int32_t n_frames = 0;
+  int64_t payload_used = 0;
+  uint8_t bits[65536];
+  if (n_sym > (int32_t)sizeof(bits)) return -1;
+  for (int32_t li = 0; li < n_lanes; ++li) {
+    const uint8_t* bp = packed + (int64_t)lanes[li] * 2 * n_pack;
+    const uint8_t* vp = bp + n_pack;
+    int64_t nb = 0;
+    for (int32_t j = 0; j < n_sym; ++j) {
+      uint8_t mask = (uint8_t)(0x80u >> (j & 7));
+      if (vp[j >> 3] & mask) bits[nb++] = (bp[j >> 3] & mask) ? 1 : 0;
+    }
+    int32_t before = n_frames;
+    deframe_core(bits, nb, min_len, max_len, payload_out,
+                 payload_capacity, frame_lens, frame_starts, max_frames,
+                 &n_frames, &payload_used);
+    for (int32_t f = before; f < n_frames; ++f) frame_lane[f] = li;
+  }
   return n_frames;
 }
 

@@ -146,45 +146,85 @@ def decode_wire_records(
 ) -> list:
     """Decode a WireRecords fetch (pipeline/wideband.py) into packets.
 
-    The packed bit planes are unpacked for ALL (channel, block, burst)
-    lanes in one vectorized `np.unpackbits`; only valid bursts then pay
-    the per-burst deframe."""
+    With the native library, ALL valid bursts deframe in ONE C call
+    reading the packed bit planes directly
+    (native.hdlc_deframe_packed_batch) — the per-burst ctypes
+    marshalling this replaces dominated the host back half at full
+    channel load (~400 bursts per fetch).  The numpy fallback unpacks
+    the planes vectorized and deframes per burst."""
     meta_i = np.asarray(wire.meta_i)  # (C, B, K, 4)
     meta_f = np.asarray(wire.meta_f)
     packed = np.asarray(wire.packed)  # (C, B, K, 2, n_pack)
     C, B, K, _ = meta_i.shape
-    planes = np.unpackbits(packed, axis=-1)[..., :n_sym]  # (C,B,K,2,n_sym)
     log = logging.getLogger("ais_tpu")
     packets: list[DecodedPacket] = []
-    for c in range(C):
-        deduper = dedupers[c] if dedupers is not None else None
-        for b in range(B):
-            block_start = chan_start + b * core_len
-            n_detected = int(meta_i[c, b, 0, 3])
-            if n_detected > K:
-                log.warning(
-                    "burst table overflow: %d peaks detected in block at "
-                    "sample %d but max_bursts_per_block=%d — raise "
-                    "DemodConfig.max_bursts_per_block",
-                    n_detected,
-                    block_start,
-                    K,
-                )
-            for k in np.nonzero(meta_i[c, b, :, 2])[0]:
-                row = planes[c, b, k]
-                burst_bits = row[0][row[1].astype(bool)]
-                frames = _deframe_burst(burst_bits, deframer)
-                _emit_packets(
-                    frames,
-                    int(meta_i[c, b, k, 1]),
-                    block_start,
-                    float(meta_f[c, b, k, 0]),
-                    float(meta_f[c, b, k, 1]),
-                    designators[c],
-                    deduper,
-                    samples_per_symbol,
-                    packets,
-                )
+
+    # Overflow visibility (one check per (channel, block), vectorized).
+    n_det = meta_i[:, :, 0, 3]
+    for c, b in zip(*np.nonzero(n_det > K)):
+        log.warning(
+            "burst table overflow: %d peaks detected in block at sample %d "
+            "but max_bursts_per_block=%d — raise "
+            "DemodConfig.max_bursts_per_block",
+            int(n_det[c, b]),
+            chan_start + int(b) * core_len,
+            K,
+        )
+
+    valid_flat = meta_i[..., 2].reshape(-1)
+    lanes = np.nonzero(valid_flat)[0].astype(np.int32)
+    if lanes.size == 0:
+        return packets
+
+    from ais_tpu import native
+
+    if native.available():
+        triples = native.hdlc_deframe_packed_batch(
+            packed.reshape(C * B * K, 2, -1),
+            lanes,
+            n_sym,
+            deframer.min_length_bytes,
+            deframer.max_length_bytes,
+            max_frames=8 * lanes.size + 64,
+        )
+        # Frames arrive in lane order (C-major) — the same c -> b -> k
+        # sequence as the fallback loop, so dedup admits identically.
+        for payload, start_bit, li in triples:
+            lane = int(lanes[li])
+            c, rem = divmod(lane, B * K)
+            b, k = divmod(rem, K)
+            _emit_packets(
+                [(payload, start_bit)],
+                int(meta_i[c, b, k, 1]),
+                chan_start + b * core_len,
+                float(meta_f[c, b, k, 0]),
+                float(meta_f[c, b, k, 1]),
+                designators[c],
+                dedupers[c] if dedupers is not None else None,
+                samples_per_symbol,
+                packets,
+            )
+        packets.sort(key=lambda p: p.abs_sample)
+        return packets
+
+    planes = np.unpackbits(packed, axis=-1)[..., :n_sym]  # (C,B,K,2,n_sym)
+    for lane in lanes:
+        c, rem = divmod(int(lane), B * K)
+        b, k = divmod(rem, K)
+        row = planes[c, b, k]
+        burst_bits = row[0][row[1].astype(bool)]
+        frames = _deframe_burst(burst_bits, deframer)
+        _emit_packets(
+            frames,
+            int(meta_i[c, b, k, 1]),
+            chan_start + b * core_len,
+            float(meta_f[c, b, k, 0]),
+            float(meta_f[c, b, k, 1]),
+            designators[c],
+            dedupers[c] if dedupers is not None else None,
+            samples_per_symbol,
+            packets,
+        )
     packets.sort(key=lambda p: p.abs_sample)
     return packets
 

@@ -137,7 +137,10 @@ class MultiProcessWideband:
         if n_in is None:
             n48 = cfg.block_len + cfg.core_len * 63
             n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
-        n_in = -(-n_in // cfg.decimation) * cfg.decimation
+        # Same alignment as WidebandReceiver: decim for the channelizer,
+        # 4 for the packed wire formats (ci1 needs n_in % 4 == 0).
+        align = int(np.lcm(cfg.decimation, 4))
+        n_in = -(-n_in // align) * align
         self.n_in = n_in
         self.n_chan, self.n_blocks, self.core_len = wideband_geometry(cfg, n_in)
         self.step_raw = self.n_blocks * self.core_len * cfg.decimation

@@ -64,3 +64,38 @@ class TestHdlc:
         wire = frame_bits(payload)
         wire[60] ^= 1
         assert native.hdlc_deframe(wire) == []
+
+    def test_packed_batch_matches_per_burst(self):
+        """hdlc_deframe_packed_batch on packed (bits, valid) planes must
+        reproduce the per-burst hdlc_deframe results lane by lane —
+        payloads, start_bit coordinates, and lane attribution."""
+        rng = np.random.default_rng(3)
+        n_lanes, n_sym = 12, 1536
+        packed = np.zeros((n_lanes, 2, n_sym // 8), np.uint8)
+        want = {}
+        lanes = []
+        for lane in range(n_lanes):
+            if lane % 3 == 0:
+                continue  # invalid lane: must be skipped entirely
+            lanes.append(lane)
+            payload = rng.integers(0, 256, size=24, dtype=np.uint8).tobytes()
+            body = np.concatenate(
+                [rng.integers(0, 2, 40).astype(np.uint8),
+                 frame_bits(payload, ramp_bits=4)]
+            )
+            bits = np.zeros(n_sym, np.uint8)
+            valid = np.zeros(n_sym, np.uint8)
+            # scatter the burst bits over a valid-mask with gaps
+            idx = np.sort(rng.choice(n_sym, size=body.size, replace=False))
+            bits[idx] = body
+            valid[idx] = 1
+            packed[lane, 0] = np.packbits(bits)
+            packed[lane, 1] = np.packbits(valid)
+            want[lane] = native.hdlc_deframe(body)
+        lanes = np.asarray(lanes, np.int32)
+        got = native.hdlc_deframe_packed_batch(packed, lanes, n_sym)
+        by_lane = {}
+        for payload, start_bit, li in got:
+            by_lane.setdefault(int(lanes[li]), []).append((payload, start_bit))
+        for lane in lanes:
+            assert by_lane.get(int(lane), []) == want[int(lane)]
