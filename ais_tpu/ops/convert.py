@@ -99,12 +99,16 @@ def iq_from_bytes_ci2(raw_u8: jax.Array) -> jax.Array:
     return jax.lax.complex(dec(re), dec(im))
 
 
-# ci1 encoder gain: signal RMS as a fraction of the 1-bit quantizer
-# level.  0.35 keeps the first-order sigma-delta loop far from overload
-# (peaks ~4 RMS stay inside the stable input range) while the in-band
-# shaped noise stays ~40 dB below the per-channel signal after the
-# channelizer's low-pass.
-CI1_GAIN = 0.35
+# ci1 encoder headroom: the 99.9th-percentile component amplitude maps
+# to this fraction of the 1-bit quantizer level.  PEAK-referenced (not
+# RMS): a sparse scene's RMS is set by the quiet gaps, and RMS-scaling
+# would drive bursts deep into sigma-delta overload — peak-referencing
+# keeps the loop linear for sparse AND dense traffic (26 dB near-far
+# and full-load parity both hold at 1.0; tests/test_convert_ci1.py,
+# tests/test_wideband.py).
+CI1_HEADROOM = 0.7
+# Back-compat alias (the decoder's ±1 levels are scale-free).
+CI1_GAIN = CI1_HEADROOM
 
 
 def iq_from_bytes_ci1(raw_u8: jax.Array) -> jax.Array:
@@ -207,8 +211,10 @@ def host_bytes(iq: np.ndarray, fmt: str, *, ci2_dither: float = 0.2) -> np.ndarr
     if fmt == "ci1":
         if iq.size % 4:
             raise ValueError("ci1 packs 4 samples/byte: need size % 4 == 0")
-        rms = float(np.sqrt(0.5 * np.mean(np.abs(iq) ** 2))) or 1.0
-        scale = CI1_GAIN / rms
+        peak = float(
+            np.percentile(np.abs(np.concatenate([iq.real, iq.imag])), 99.9)
+        ) or 1.0
+        scale = CI1_HEADROOM / peak
         try:
             from ais_tpu import native
 

@@ -72,8 +72,8 @@ class TestDecoder:
         dec = np.asarray(iq_from_bytes_ci1(host_bytes(iq, "ci1")))
         taps = low_pass(1.0, rate, 36e3, 12e3)
         flt = np.convolve(dec, taps, mode="valid")
-        ref = np.convolve(iq / np.sqrt(0.5 * np.mean(np.abs(iq) ** 2)) * CI1_GAIN,
-                          taps, mode="valid")
+        peak = np.percentile(np.abs(np.concatenate([iq.real, iq.imag])), 99.9)
+        ref = np.convolve(iq * (CI1_GAIN / peak), taps, mode="valid")
         err = flt - ref
         snr_db = 10 * np.log10(np.mean(np.abs(ref) ** 2) / np.mean(np.abs(err) ** 2))
         assert snr_db > 30.0, snr_db

@@ -290,3 +290,53 @@ def test_pallas_mode_wire_and_float_paths(monkeypatch):
     rx2 = WidebandReceiver(cfg, n_in=rx.n_in)
     got = rx2.decode_wire(host_bytes(iq, "ci2"), "ci2")
     assert [p.nmea for p in got] == [SENTENCE_A, SENTENCE_B]
+
+
+def _near_far_scene(n_in, weak_amplitude):
+    raw = aivdm_payload_to_bytes(PAYLOAD)
+    return Scenario(
+        sample_rate=2.4e6,
+        n_samples=n_in,
+        noise=0.002,
+        packets=[
+            ScenarioPacket(raw, 300000, -25e3, amplitude=weak_amplitude,
+                           phase=0.7),
+            ScenarioPacket(raw, 280000, +25e3, amplitude=0.8,
+                           extra_freq_hz=90.0),
+        ],
+    ).build()
+
+
+def test_near_far_adjacent_channel_selectivity(receiver):
+    """A strong channel-B transmission 26 dB above a weak OVERLAPPING
+    channel-A one: the channelizer's stopband must suppress the
+    adjacent carrier (50 kHz away) enough that the weak packet still
+    decodes — the reference relies on the same `low_pass(1, rate,
+    11000, 1000)` selectivity (python/radio.py:49).  The
+    peak-referenced sigma-delta ci1 wire must carry the same 26 dB
+    dynamic range (its in-band noise floor sits well under the weak
+    signal)."""
+    from ais_tpu.ops.convert import host_bytes
+
+    iq = _near_far_scene(receiver.n_in, weak_amplitude=0.04)
+    pkts = receiver.decode(iq)
+    assert sorted(p.nmea for p in pkts) == [SENTENCE_A, SENTENCE_B]
+
+    rx2 = WidebandReceiver(receiver.cfg, n_in=receiver.n_in)
+    got = rx2.decode_wire(host_bytes(iq, "ci1"), "ci1")
+    assert sorted(p.nmea for p in got) == [SENTENCE_A, SENTENCE_B]
+
+
+def test_near_far_ci4_at_12db(receiver):
+    """ci4's undithered 4-bit grid holds a 12 dB near-far imbalance
+    (a weak overlapping packet one-third of a quantization step rides
+    the strong carrier's self-dither).  ci2 is excluded by design: its
+    Lloyd-Max AGC assumes dense near-Gaussian traffic and an on-air
+    noise floor (see ops/convert.py) — sparse two-carrier scenes are
+    ci1/ci4 territory."""
+    from ais_tpu.ops.convert import host_bytes
+
+    iq = _near_far_scene(receiver.n_in, weak_amplitude=0.2)
+    rx2 = WidebandReceiver(receiver.cfg, n_in=receiver.n_in)
+    got = rx2.decode_wire(host_bytes(iq, "ci4"), "ci4")
+    assert sorted(p.nmea for p in got) == [SENTENCE_A, SENTENCE_B]
