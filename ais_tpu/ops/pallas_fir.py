@@ -337,9 +337,28 @@ _WIRE_PERMS = {
     "ci4": (lambda d: d, lambda d: np.arange(d)),
 }
 
+# ci1 packs 4 complex samples per byte, so one decim-row of D=50 spans a
+# fractional 12.5 bytes: the kernel instead works in UNITS of 2
+# decim-rows (25 bytes, 100 samples).  The decode concat (4 bit-pair
+# extracts along lanes) leaves lane p = 25*k + l holding unit-sample
+# s = 4*l + k; as with ci2, the data lanes stay put and the carrier
+# lanes + tap matrix are permuted host-side to match.
+_CI1_UNIT_ROWS = 2
+
+
+def _ci1_unit_perm(decim: int) -> np.ndarray:
+    n = decim * _CI1_UNIT_ROWS
+    return np.concatenate([np.arange(k, n, 4) for k in range(4)])
+
 
 def wire_channelizer_supported(fmt: str, ntaps: int, decim: int,
                                offsets_hz, sample_rate: float) -> bool:
+    if fmt == "ci1":
+        # 2-row units need an even decim and unit size divisible by 4.
+        if decim % 2 or (decim * _CI1_UNIT_ROWS) % 4:
+            return False
+        return pallas_channelizer_supported(ntaps, decim, offsets_hz,
+                                            sample_rate)
     if fmt not in _WIRE_PERMS:
         return False
     if fmt == "ci2" and decim % 2:
@@ -350,12 +369,44 @@ def wire_channelizer_supported(fmt: str, ntaps: int, decim: int,
 def wire_channelizer_buffers(fmt: str, taps: np.ndarray, decim: int,
                              offsets_hz, sample_rate: float):
     """(carrier tile, tap matrix) with lanes permuted for `fmt`'s decode
-    order.  Carrier is row-major here: (n_chan, 2, span, D_perm)."""
+    order.  Carrier is row-major here: (n_chan, 2, span, D_perm) — for
+    ci1, (n_chan, 2, span/2, 2*D_perm) over 2-row units, and the tap
+    matrix becomes the two anti-diagonal HALVES (2, lanes, P2_pad): see
+    `_wire_kernel_ci1`."""
     t = np.asarray(taps, np.float32)
-    perm = _WIRE_PERMS[fmt][1](decim)
     m, b_h, p_pad, _ = _geometry(t.size, decim, tuple(offsets_hz),
                                  float(sample_rate))
     span = m + b_h
+    if fmt == "ci1":
+        R = _CI1_UNIT_ROWS
+        lanes = decim * R
+        perm = _ci1_unit_perm(decim)  # lane q holds unit sample perm[q]
+        span_u = span // R
+        n = np.arange(span_u * lanes, dtype=np.float64)
+        car = np.empty((len(offsets_hz), 2, span_u, lanes), np.float32)
+        for c, off in enumerate(offsets_hz):
+            ph = np.remainder(-2.0 * np.pi * (off / sample_rate) * n,
+                              2 * np.pi)
+            cplx = np.exp(1j * ph).reshape(span_u, lanes)[:, perm]
+            car[c, 0] = cplx.real.astype(np.float32)
+            car[c, 1] = cplx.imag.astype(np.float32)
+        # Tap halves: y[2*j2+e] = sum_u sum_q G[e, q, u] * X2[j2+u, q]
+        # with G[e, lane_of(h*D+d), (e+p)//2] = H[p, d], h = (e+p)%2 —
+        # the unique (p, d) per (e, u, q) makes this an assignment.
+        p_rows = -(-t.size // decim)
+        h_full = np.zeros((p_rows, decim), np.float32)
+        h_full.flat[: t.size] = t
+        p2 = p_rows // 2 + 1
+        p2_pad = 8 * -(-p2 // 8)
+        inv = np.empty(lanes, np.int64)
+        inv[perm] = np.arange(lanes)
+        g = np.zeros((R, lanes, p2_pad), np.float32)
+        for e in range(R):
+            for p in range(p_rows):
+                u, hh = divmod(e + p, R)
+                g[e, inv[hh * decim : (hh + 1) * decim], u] = h_full[p]
+        return car, g
+    perm = _WIRE_PERMS[fmt][1](decim)
     n = np.arange(span * decim, dtype=np.float64)
     car = np.empty((len(offsets_hz), 2, span, decim), np.float32)
     for c, off in enumerate(offsets_hz):
@@ -419,6 +470,111 @@ def _wire_kernel(fmt: str, m: int, b_h: int, p_pad: int, decim: int,
     return kernel
 
 
+def _wire_kernel_ci1(m2: int, bh2: int, p2_pad: int, decim: int,
+                     n_chan: int):
+    """ci1 kernel over 2-decim-row units: decode 4 bit-pair extracts
+    (lane order matched by the permuted carrier/taps), mix, then run the
+    polyphase matmul as TWO anti-diagonal halves — output row j = 2*j2+e
+    reads unit rows j2+(e+p)//2, so each parity e gets its own folded
+    tap matrix g[e] (built in wire_channelizer_buffers)."""
+    span2 = m2 + bh2
+
+    def kernel(b_m, b_h_ref, car, g, outr, outi):
+        b = jnp.concatenate([b_m[:], b_h_ref[:]], axis=0).astype(jnp.int32)
+        lvl = lambda x: x.astype(jnp.float32) * 2.0 - 1.0  # noqa: E731
+        xr = jnp.concatenate([lvl((b >> s) & 1) for s in (7, 5, 3, 1)],
+                             axis=1)  # (span2, 2*decim) permuted lanes
+        xi = jnp.concatenate([lvl((b >> s) & 1) for s in (6, 4, 2, 0)],
+                             axis=1)
+        for c in range(n_chan):
+            cr = car[c, 0]
+            ci = car[c, 1]
+            mr = xr * cr - xi * ci
+            mi = xr * ci + xi * cr
+            for e in range(_CI1_UNIT_ROWS):
+                zr = jnp.dot(mr, g[e], preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+                zi = jnp.dot(mi, g[e], preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+                outr[c, e, :] = _collapse(zr.T, p2_pad, span2)[0, :m2]
+                outi[c, e, :] = _collapse(zi.T, p2_pad, span2)[0, :m2]
+
+    return kernel
+
+
+def _pallas_wire_channelizer_ci1(
+    raw_u8, phase0s, car_pat, g_mat, *, ntaps, decim, offsets, rate,
+    n_in, interpret,
+):
+    geo = _geometry(int(ntaps), int(decim), tuple(offsets), float(rate))
+    m, b_h, _, _ = geo
+    R = _CI1_UNIT_ROWS
+    lanes = decim * R
+    bpr_u = lanes // 4  # wire bytes per unit
+    m2, bh2 = m // R, b_h // R
+    span2 = m2 + bh2
+    p2_pad = g_mat.shape[-1]
+    n_rows = n_in // decim
+    n_out = n_rows - (-(-ntaps // decim)) + 1
+    n_chan = len(offsets)
+    n_tiles = -(-n_out // m)
+    n_units = n_in // lanes
+    pad_units = n_tiles * m2 + bh2
+
+    b2d = raw_u8.reshape(n_units, bpr_u)
+    b2d = jnp.concatenate(
+        [b2d, jnp.zeros((pad_units - n_units, bpr_u), jnp.uint8)], axis=0
+    )
+
+    rot_r = jnp.cos(phase0s)[:, None, None]
+    rot_i = jnp.sin(phase0s)[:, None, None]
+    cr, ci = car_pat[:, 0], car_pat[:, 1]
+    car = jnp.stack(
+        [cr * rot_r - ci * rot_i, cr * rot_i + ci * rot_r], axis=1
+    )  # (n_chan, 2, span2, lanes)
+
+    tiles_per_m = m2 // bh2
+    kernel = _wire_kernel_ci1(m2, bh2, p2_pad, decim, n_chan)
+    outr, outi = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((m2, bpr_u), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bh2, bpr_u),
+                lambda i, t=tiles_per_m: (i * t + t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((n_chan, 2, span2, lanes), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, lanes, p2_pad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_chan, R, m2), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_chan, R, m2), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_chan, R, n_tiles * m2), jnp.float32),
+            jax.ShapeDtypeStruct((n_chan, R, n_tiles * m2), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * p2_pad * lanes * span2 * R * n_chan * n_tiles,
+            bytes_accessed=pad_units * bpr_u
+            + 2 * n_chan * R * n_tiles * m2 * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(b2d, b2d, car, g_mat)
+    # Interleave the parity halves: y[c, 2*j2+e] = out[c, e, j2].
+    yr = jnp.moveaxis(outr, 1, 2).reshape(n_chan, R * n_tiles * m2)
+    yi = jnp.moveaxis(outi, 1, 2).reshape(n_chan, R * n_tiles * m2)
+    return jax.lax.complex(yr[:, :n_out], yi[:, :n_out])
+
+
 def pallas_wire_channelizer(
     raw_u8: jax.Array,
     phase0s: jax.Array,
@@ -442,6 +598,11 @@ def pallas_wire_channelizer(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if fmt == "ci1":
+        return _pallas_wire_channelizer_ci1(
+            raw_u8, phase0s, car_pat, h_mat, ntaps=ntaps, decim=decim,
+            offsets=offsets, rate=rate, n_in=n_in, interpret=interpret,
+        )
     geo = _geometry(int(ntaps), int(decim), tuple(offsets), float(rate))
     if geo is None or fmt not in _WIRE_PERMS:
         raise ValueError("geometry/format unsupported; use the XLA path")

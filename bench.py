@@ -118,8 +118,12 @@ def _geometry():
     from ais_tpu.pipeline.wideband import WidebandConfig, num_taps
 
     cfg = WidebandConfig()
-    # ~16 demod blocks per device call (~4 s of air time per call).
-    n48 = cfg.block_len + cfg.core_len * 15
+    # ~64 demod blocks per device call (~16 s of air time): the tunnel
+    # charges ~20-25 ms fixed dispatch latency per call, so bigger calls
+    # lift the exec ceiling (310 -> 580 Msps exec-only from 16 -> 64
+    # blocks); with the batched host decode the back half no longer
+    # penalizes large fetches.
+    n48 = cfg.block_len + cfg.core_len * 63
     n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
     return cfg, n_in
 

@@ -127,9 +127,14 @@ class TestKernelParity:
 class TestWireKernelParity:
     """Fused bytes->channels kernel vs XLA convert + channelize."""
 
-    @pytest.mark.parametrize("fmt", ["ci2", "ci4"])
+    @pytest.mark.parametrize("fmt", ["ci1", "ci2", "ci4"])
     def test_wire_matches_xla_convert_plus_chan(self, fmt):
-        from ais_tpu.ops.convert import host_bytes, iq_from_bytes_ci2, iq_from_bytes_ci4
+        from ais_tpu.ops.convert import (
+            host_bytes,
+            iq_from_bytes_ci1,
+            iq_from_bytes_ci2,
+            iq_from_bytes_ci4,
+        )
         from ais_tpu.ops.pallas_fir import (
             pallas_wire_channelizer,
             wire_channelizer_buffers,
@@ -147,7 +152,11 @@ class TestWireKernelParity:
         raw = host_bytes(iq, fmt)
         phase0s = np.stack([mixer_phase(o, rate, 777) for o in offsets])
 
-        conv = {"ci2": iq_from_bytes_ci2, "ci4": iq_from_bytes_ci4}[fmt]
+        conv = {
+            "ci1": iq_from_bytes_ci1,
+            "ci2": iq_from_bytes_ci2,
+            "ci4": iq_from_bytes_ci4,
+        }[fmt]
         # Ground truth: XLA decode then XLA channelize on the SAME
         # quantized samples.
         dec = np.asarray(conv(jnp.asarray(raw)))

@@ -46,6 +46,7 @@ def main() -> int:
 
     from ais_tpu.ops.convert import (
         host_bytes,
+        iq_from_bytes_ci1,
         iq_from_bytes_ci2,
         iq_from_bytes_ci4,
         iq_from_bytes_ci8,
@@ -66,12 +67,18 @@ def main() -> int:
     cfg = WidebandConfig()
     n48 = cfg.block_len + cfg.core_len * 15
     n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
-    n_in = -(-n_in // cfg.decimation) * cfg.decimation
+    align = int(np.lcm(cfg.decimation, 4))
+    n_in = -(-n_in // align) * align
 
-    conv = {"ci2": iq_from_bytes_ci2, "ci4": iq_from_bytes_ci4, "ci8": iq_from_bytes_ci8}[
+    conv = {
+        "ci1": iq_from_bytes_ci1,
+        "ci2": iq_from_bytes_ci2,
+        "ci4": iq_from_bytes_ci4,
+        "ci8": iq_from_bytes_ci8,
+    }[args.fmt]
+    bytes_per = {"ci1": n_in // 4, "ci2": n_in // 2, "ci4": n_in, "ci8": 2 * n_in}[
         args.fmt
     ]
-    bytes_per = {"ci2": n_in // 2, "ci4": n_in, "ci8": 2 * n_in}[args.fmt]
 
     chan_fn, demod_fn = make_wideband_fns(cfg, n_in)
     demod_cfg = dataclasses.replace(cfg.demod, samples_per_symbol=cfg.sps)
