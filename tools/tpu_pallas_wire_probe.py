@@ -41,6 +41,7 @@ def main() -> int:
     from ais_tpu.ops.cplx import to_planes
     from ais_tpu.ops.convert import (
         host_bytes,
+        iq_from_bytes_ci1,
         iq_from_bytes_ci2,
         iq_from_bytes_ci4,
     )
@@ -59,10 +60,14 @@ def main() -> int:
 
     rate, decim, offsets = 2.4e6, 50, (-25e3, 25e3)
     taps = low_pass(1.0, rate, 11e3, 2e3)
-    n_in = args.n_in - (args.n_in % decim)
+    n_in = int(args.n_in - (args.n_in % int(np.lcm(decim, 4))))
     n_out = n_in // decim - (-(-taps.size // decim)) + 1
     assert wire_channelizer_supported(args.fmt, taps.size, decim, offsets, rate)
-    conv = {"ci2": iq_from_bytes_ci2, "ci4": iq_from_bytes_ci4}[args.fmt]
+    conv = {
+        "ci1": iq_from_bytes_ci1,
+        "ci2": iq_from_bytes_ci2,
+        "ci4": iq_from_bytes_ci4,
+    }[args.fmt]
 
     rng = np.random.default_rng(0)
     iq = ((rng.normal(size=n_in) + 1j * rng.normal(size=n_in)) * 0.3).astype(
