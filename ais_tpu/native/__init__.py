@@ -191,6 +191,31 @@ def crc16_x25(data: bytes) -> int:
     )
 
 
+def _deframe_out_buffers(max_frames: int, max_len: int):
+    """Output arrays shared by the deframe entry points."""
+    payload_cap = max_frames * (max_len + 2)
+    return (
+        np.zeros(payload_cap, dtype=np.uint8),
+        payload_cap,
+        np.zeros(max_frames, dtype=np.int32),
+        np.zeros(max_frames, dtype=np.int64),
+    )
+
+
+def _warn_if_capped(n: int, max_frames: int, entry: str) -> None:
+    # The C kernel stops emitting at max_frames; hitting the cap means
+    # later frames in this bit stream may have been dropped.
+    if n == max_frames:
+        import logging
+
+        logging.getLogger("ais_tpu").warning(
+            "native %s hit max_frames=%d — possible truncation; pass a "
+            "larger max_frames",
+            entry,
+            max_frames,
+        )
+
+
 def hdlc_deframe(
     bits: np.ndarray, min_len: int = 11, max_len: int = 64, max_frames: int = 64
 ):
@@ -199,10 +224,7 @@ def hdlc_deframe(
     if lib is None:
         raise RuntimeError("native library unavailable")
     bits = np.ascontiguousarray(np.asarray(bits, dtype=np.uint8))
-    payload_cap = max_frames * (max_len + 2)
-    payload = np.zeros(payload_cap, dtype=np.uint8)
-    lens = np.zeros(max_frames, dtype=np.int32)
-    starts = np.zeros(max_frames, dtype=np.int64)
+    payload, payload_cap, lens, starts = _deframe_out_buffers(max_frames, max_len)
     n = lib.hdlc_deframe(
         bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         bits.size,
@@ -214,16 +236,7 @@ def hdlc_deframe(
         starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         max_frames,
     )
-    if n == max_frames:
-        # The C kernel stops emitting at max_frames; hitting the cap means
-        # later frames in this bit stream may have been dropped.
-        import logging
-
-        logging.getLogger("ais_tpu").warning(
-            "native hdlc_deframe hit max_frames=%d — possible truncation; "
-            "pass a larger max_frames",
-            max_frames,
-        )
+    _warn_if_capped(n, max_frames, "hdlc_deframe")
     out = []
     off = 0
     for i in range(n):
@@ -256,11 +269,11 @@ def hdlc_deframe_packed_batch(
     packed = np.ascontiguousarray(packed, dtype=np.uint8)
     lanes = np.ascontiguousarray(lanes, dtype=np.int32)
     n_lanes, two, n_pack = packed.shape[-3:]
-    assert two == 2 and n_sym <= n_pack * 8
-    payload_cap = max_frames * (max_len + 2)
-    payload = np.zeros(payload_cap, dtype=np.uint8)
-    lens = np.zeros(max_frames, dtype=np.int32)
-    starts = np.zeros(max_frames, dtype=np.int64)
+    if two != 2 or n_sym > n_pack * 8:
+        raise ValueError(
+            f"packed planes {packed.shape[-3:]} cannot hold n_sym={n_sym}"
+        )
+    payload, payload_cap, lens, starts = _deframe_out_buffers(max_frames, max_len)
     lane_of = np.zeros(max_frames, dtype=np.int32)
     n = lib.hdlc_deframe_packed_batch(
         packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -279,14 +292,7 @@ def hdlc_deframe_packed_batch(
     )
     if n < 0:
         raise ValueError("n_sym exceeds native bit-buffer capacity")
-    if n == max_frames:
-        import logging
-
-        logging.getLogger("ais_tpu").warning(
-            "native hdlc_deframe_packed_batch hit max_frames=%d — possible "
-            "truncation; pass a larger max_frames",
-            max_frames,
-        )
+    _warn_if_capped(n, max_frames, "hdlc_deframe_packed_batch")
     out = []
     off = 0
     for i in range(n):

@@ -211,9 +211,13 @@ def host_bytes(iq: np.ndarray, fmt: str, *, ci2_dither: float = 0.2) -> np.ndarr
     if fmt == "ci1":
         if iq.size % 4:
             raise ValueError("ci1 packs 4 samples/byte: need size % 4 == 0")
-        peak = float(
-            np.percentile(np.abs(np.concatenate([iq.real, iq.imag])), 99.9)
-        ) or 1.0
+        # 99.9th percentile rejects isolated glitches, but when bursts
+        # occupy <0.1% of the buffer it collapses to the noise floor and
+        # would overload the sigma-delta loop for the burst's whole
+        # duration — the true-max floor (inactive for dense near-Gaussian buffers, whose 99.9th pct exceeds half the max) keeps scale*|x| <= ~1.4 always
+        # (brief clipping the clamped integrator absorbs).
+        comps = np.abs(np.concatenate([iq.real, iq.imag]))
+        peak = float(max(np.percentile(comps, 99.9), 0.5 * comps.max())) or 1.0
         scale = CI1_HEADROOM / peak
         try:
             from ais_tpu import native

@@ -352,10 +352,21 @@ def _ci1_unit_perm(decim: int) -> np.ndarray:
 
 
 def wire_channelizer_supported(fmt: str, ntaps: int, decim: int,
-                               offsets_hz, sample_rate: float) -> bool:
+                               offsets_hz, sample_rate: float,
+                               n_in: int | None = None) -> bool:
+    """True when the fused wire kernel handles this (fmt, geometry).
+
+    Pass `n_in` when known: the ci1 2-row-unit kernel additionally needs
+    `n_in % (2*decim) == 0`, which the receiver's lcm(decim, 4)
+    alignment guarantees only for decim % 4 == 2 (e.g. the production
+    50).  decim % 4 == 0 would fit a 1-row-unit variant (bpr = decim/4
+    is integral) that is not implemented — those geometries fall back
+    to the XLA convert + Pallas float channelizer.
+    """
     if fmt == "ci1":
-        # 2-row units need an even decim and unit size divisible by 4.
-        if decim % 2 or (decim * _CI1_UNIT_ROWS) % 4:
+        if decim % 4 != 2:
+            return False
+        if n_in is not None and n_in % (_CI1_UNIT_ROWS * decim):
             return False
         return pallas_channelizer_supported(ntaps, decim, offsets_hz,
                                             sample_rate)
@@ -507,6 +518,10 @@ def _pallas_wire_channelizer_ci1(
     n_in, interpret,
 ):
     geo = _geometry(int(ntaps), int(decim), tuple(offsets), float(rate))
+    if geo is None or not wire_channelizer_supported(
+        "ci1", ntaps, decim, offsets, rate, n_in
+    ):
+        raise ValueError("geometry/format unsupported; use the XLA path")
     m, b_h, _, _ = geo
     R = _CI1_UNIT_ROWS
     lanes = decim * R

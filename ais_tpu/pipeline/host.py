@@ -178,15 +178,23 @@ def decode_wire_records(
 
     from ais_tpu import native
 
+    triples = None
     if native.available():
-        triples = native.hdlc_deframe_packed_batch(
-            packed.reshape(C * B * K, 2, -1),
-            lanes,
-            n_sym,
-            deframer.min_length_bytes,
-            deframer.max_length_bytes,
-            max_frames=8 * lanes.size + 64,
-        )
+        try:
+            triples = native.hdlc_deframe_packed_batch(
+                packed.reshape(C * B * K, 2, -1),
+                lanes,
+                n_sym,
+                deframer.min_length_bytes,
+                deframer.max_length_bytes,
+                max_frames=8 * lanes.size + 64,
+            )
+        except ValueError:
+            # Geometry beyond the C kernel's static bit buffer: the
+            # numpy path below handles it (native is an accelerator,
+            # never a requirement).
+            triples = None
+    if triples is not None:
         # Frames arrive in lane order (C-major) — the same c -> b -> k
         # sequence as the fallback loop, so dedup admits identically.
         for payload, start_bit, li in triples:

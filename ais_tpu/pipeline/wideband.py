@@ -440,7 +440,7 @@ class WidebandReceiver:
             if channelizer_mode(cfg, self.n_in) == "pallas" and (
                 wire_channelizer_supported(
                     fmt, taps.size, cfg.decimation, cfg.offsets_hz,
-                    cfg.input_rate,
+                    cfg.input_rate, self.n_in,
                 )
             ):
                 # Fully fused ingest: bytes -> decode -> mix -> polyphase
