@@ -35,6 +35,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--fmt", default="ci2")
+    ap.add_argument("--blocks", type=int, default=16)
     args = ap.parse_args()
 
     import jax
@@ -65,7 +66,7 @@ def main() -> int:
     import dataclasses
 
     cfg = WidebandConfig()
-    n48 = cfg.block_len + cfg.core_len * 15
+    n48 = cfg.block_len + cfg.core_len * (args.blocks - 1)
     n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
     align = int(np.lcm(cfg.decimation, 4))
     n_in = -(-n_in // align) * align
