@@ -81,9 +81,10 @@ class DemodConfig:
     timing_mode: str = "feedforward"
     ff_seg_len: int = 256          # feedforward tone-phase segment length
     # Feedforward symbol-extraction formulation: "auto" uses the
-    # gather-free FFT comb on non-CPU backends and the drift-tracking
-    # interpolator bank on CPU; "fft"/"bank" force one (for testing the
-    # TPU formulation anywhere).
+    # gather-free bank-FIR comb on non-CPU backends and the
+    # drift-tracking interpolator bank on CPU; "fir"/"fft"/"bank" force
+    # a formulation anywhere ("fft" is the older transform-domain comb,
+    # kept for cross-checks; see sync/feedforward.py).
     ff_path: str = "auto"
     # Bit decision path:
     #   "discriminator" — quadrature demod + slicer, the reference chain

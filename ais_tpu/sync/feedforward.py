@@ -32,6 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ais_tpu.ops.framing import frame_overlap_big
 from ais_tpu.ops.interp import DELAY, NSTEPS, NTAPS, interp_taps
 
 
@@ -228,6 +229,86 @@ def feedforward_symbols_fft(
     return symbols.astype(jnp.complex64), valid
 
 
+def feedforward_symbols_fir(
+    burst: jax.Array,
+    sps: float,
+    n_symbols: int,
+    bt: float = 0.4,
+    seg_len: int = 256,
+    min_weight_frac: float = 0.25,
+):
+    """Gather-free symbol extraction: 8-tap bank-row FIR + strided comb.
+
+    Same single-delay-per-burst assumption as `feedforward_symbols_fft`
+    (intra-burst drift negligible; AIS allows 50 ppm and both paths are
+    tested at that), but the fractional delay is applied with the SAME
+    8-tap Blackman-sinc interpolation bank the drift-tracking path uses,
+    and the whole extraction collapses into ONE per-burst FIR:
+
+        symbols[k] = sum_j g[j] * burst[sps*k + j],   len(g) = sps+9
+
+    where g is the (outer-product) convolution of the bank row picked by
+    the fractional phase mu (one-hot over the bank's 129 phases — an MXU
+    contraction, no gather) with the one-hot of the integer comb offset.
+    The strided reads become one gather-free `frame_overlap_big` framing
+    (core = sps) plus a single small contraction — two passes over the
+    burst instead of the FFT path's zero-padded 2^k FFT/IFFT pair
+    (8192-pt for the default 4608-sample window) or a chain of shifted
+    slice-adds XLA won't fuse (tools/tpu_symbols_probe.py).  Accuracy is
+    identical in kind: `_calibrate` measures the optimum sampling point
+    *with this bank*, so the bank's group delay is baked into `delta`.
+    """
+    length = burst.shape[-1]
+    sps_i = int(round(sps))
+    base, intercept, _ = estimate_timing(
+        burst, sps, bt=bt, seg_len=seg_len, min_weight_frac=min_weight_frac
+    )
+    tau = base + intercept
+    # Same clamp as the FFT path: a wild estimate degrades to a CRC
+    # failure, never a silent all-zero burst.
+    r0 = DELAY
+    n_cand = sps_i + 2
+    tau = jnp.clip(tau, float(r0), float(r0 + n_cand) - 1e-3)
+    R = jnp.floor(tau).astype(jnp.int32)
+    mu = tau - R.astype(jnp.float32)
+
+    nz = n_cand - 1 + sps_i * n_symbols  # last comb sample we ever read
+    if nz > length - NTAPS + 1:
+        raise ValueError(
+            f"burst window {length} too short for {n_symbols} symbols "
+            f"at sps {sps_i} (needs {nz + NTAPS - 1})"
+        )
+    bank = jnp.asarray(interp_taps())  # (NSTEPS+1, NTAPS)
+    imu = jnp.clip(jnp.round(mu * NSTEPS).astype(jnp.int32), 0, NSTEPS)
+    oh_mu = (
+        imu == jnp.arange(NSTEPS + 1, dtype=jnp.int32)
+    ).astype(jnp.float32)
+    row = oh_mu @ bank  # (NTAPS,)
+
+    # Fuse interpolation row and comb offset: symbols[k] = z[c + sps*k]
+    # with z[i] = sum_t row[t]*burst[i+t] and c = R - DELAY, i.e. one
+    # J-tap kernel g[j] = sum_{t+c'=j} row[t]*oh_c[c'].
+    oh_c = (
+        (R - r0) == jnp.arange(n_cand, dtype=jnp.int32)
+    ).astype(jnp.float32)
+    J = n_cand - 1 + NTAPS
+    g = jnp.zeros((J,), jnp.float32)
+    for c in range(n_cand):
+        g = g + oh_c[c] * jnp.pad(row, (c, J - NTAPS - c))
+
+    # Gather-free strided frames: frames[m, j] = burst[sps*m + j].
+    nfr = length - (length % sps_i)
+    fre = frame_overlap_big(jnp.real(burst)[:nfr], sps_i, J - sps_i)
+    fim = frame_overlap_big(jnp.imag(burst)[:nfr], sps_i, J - sps_i)
+    symbols = jax.lax.complex(
+        jnp.einsum("mj,j->m", fre[:n_symbols], g),
+        jnp.einsum("mj,j->m", fim[:n_symbols], g),
+    )
+    kpos = R.astype(jnp.float32) + jnp.arange(n_symbols, dtype=jnp.float32) * sps_i
+    valid = (kpos >= 0) & (kpos + sps_i + 8 <= length)
+    return symbols.astype(jnp.complex64), valid
+
+
 def feedforward_symbols(
     burst: jax.Array,
     sps: float,
@@ -241,17 +322,21 @@ def feedforward_symbols(
 
     Returns (symbols complex64 (n_symbols,), valid bool (n_symbols,)).
     Drop-in replacement for the PLL's outputs (same downstream demod).
-    `path`: "auto" picks the gather-free FFT formulation on non-CPU
-    backends when sps is integral (see feedforward_symbols_fft), the
-    drift-tracking bank interpolation otherwise; "fft"/"bank" force one.
+    `path`: "auto" picks the gather-free bank-FIR comb on non-CPU
+    backends when sps is integral (see feedforward_symbols_fir), the
+    drift-tracking bank interpolation otherwise; "fir"/"fft"/"bank"
+    force a formulation ("fft" is the older transform-domain comb,
+    kept selectable for cross-checks).
     """
-    use_fft = {
+    gather_free = {
         "auto": jax.default_backend() != "cpu",
         "fft": True,
+        "fir": True,
         "bank": False,
     }[path]
-    if use_fft and abs(sps - round(sps)) < 1e-9:
-        return feedforward_symbols_fft(
+    if gather_free and abs(sps - round(sps)) < 1e-9:
+        fn = feedforward_symbols_fft if path == "fft" else feedforward_symbols_fir
+        return fn(
             burst, sps, n_symbols, bt=bt, seg_len=seg_len,
             min_weight_frac=min_weight_frac,
         )

@@ -101,7 +101,7 @@ class TestOracleImpairments:
         assert abs(got[0].freq_est_hz - cfo) < 60
 
     @pytest.mark.parametrize("ppm", [-50.0, 50.0])
-    @pytest.mark.parametrize("path", ["bank", "fft"])
+    @pytest.mark.parametrize("path", ["bank", "fft", "fir"])
     def test_symbol_clock_offset(self, pkt, ppm, path):
         # AIS allows 50 ppm transmitter clock error (ITU-R M.1371); both
         # the drift-tracking bank path and the TPU FFT-comb formulation

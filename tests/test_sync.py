@@ -147,11 +147,13 @@ class TestTimingRecovery:
 
 class TestFeedforwardFftPath:
     def test_matches_bank_path_and_decodes(self):
-        # The TPU fast path (FFT fractional delay + comb) must agree with
-        # the bank-interpolation path closely enough to decode identically.
+        # The TPU fast paths (FFT comb, and the cheaper bank-FIR comb
+        # that replaced it as the default) must agree with the
+        # bank-interpolation path closely enough to decode identically.
         from ais_tpu.sync.feedforward import (
             feedforward_symbols,
             feedforward_symbols_fft,
+            feedforward_symbols_fir,
         )
 
         raw = aivdm_payload_to_bytes(PAYLOAD)
@@ -168,28 +170,40 @@ class TestFeedforwardFftPath:
             )
             b = jnp.asarray(burst)
             s_fft, v_fft = feedforward_symbols_fft(b, 5.0, 900)
+            s_fir, v_fir = feedforward_symbols_fir(b, 5.0, 900)
             s_ref, v_ref = feedforward_symbols(b, 5.0, 900)
             from ais_tpu.ops.demod import quadrature_demod, slice_diff_invert
 
-            bits_fft = np.asarray(slice_diff_invert(quadrature_demod(s_fft)))
-            bits_ref = np.asarray(slice_diff_invert(quadrature_demod(s_ref)))
-            f1 = deframe(bits_fft[np.asarray(v_fft)])
-            f2 = deframe(bits_ref[np.asarray(v_ref)])
-            assert len(f1) == 1 and f1[0].payload == raw, seed
-            assert len(f2) == 1 and f2[0].payload == raw, seed
+            # Same timing estimate feeds both combs, so their valid
+            # masks agree; symbols differ only by interpolator (ideal
+            # sinc vs the 8-tap bank row).
+            assert np.array_equal(np.asarray(v_fft), np.asarray(v_fir))
+            d = np.abs(np.asarray(s_fft - s_fir))[np.asarray(v_fir)]
+            assert np.median(d) < 0.1, seed
+
+            for s, v in ((s_fft, v_fft), (s_fir, v_fir), (s_ref, v_ref)):
+                bits = np.asarray(slice_diff_invert(quadrature_demod(s)))
+                frames = deframe(bits[np.asarray(v)])
+                assert len(frames) == 1 and frames[0].payload == raw, seed
 
     @pytest.mark.parametrize("ppm", [-50.0, 50.0])
-    def test_decodes_at_50ppm_clock_offset(self, ppm):
+    @pytest.mark.parametrize("path", ["fft", "fir"])
+    def test_decodes_at_50ppm_clock_offset(self, ppm, path):
         """AIS allows a 50 ppm symbol-clock error (ITU-R M.1371 §2.2).
 
-        The FFT comb path assumes negligible drift ACROSS one burst
-        (sync/feedforward.py:feedforward_symbols_fft docstring: it fits a
-        single fractional delay and ignores the slope) — at 50 ppm the
+        Both comb paths assume negligible drift ACROSS one burst
+        (sync/feedforward.py:feedforward_symbols_fir docstring: they fit
+        a single fractional delay and ignore the slope) — at 50 ppm the
         sampling point walks 256 bits * 5 sps * 50e-6 = 0.064 samples over
         a packet, well inside the eye.  This pins that claim with a
-        decode at both spec extremes, through the FFT path specifically
+        decode at both spec extremes, through each comb path specifically
         (the bank path's drift test lives in TestMskTimingRecovery)."""
-        from ais_tpu.sync.feedforward import feedforward_symbols_fft
+        from ais_tpu.sync.feedforward import (
+            feedforward_symbols_fft,
+            feedforward_symbols_fir,
+        )
+
+        comb = {"fft": feedforward_symbols_fft, "fir": feedforward_symbols_fir}[path]
 
         raw = aivdm_payload_to_bytes(PAYLOAD)
         iq15 = make_packet_iq(raw, samples_per_symbol=15)
@@ -205,7 +219,7 @@ class TestFeedforwardFftPath:
             np.complex64
         ) * 0.03
         burst[7 : 7 + iq.size] += iq
-        s, v = feedforward_symbols_fft(jnp.asarray(burst), 5.0, 900)
+        s, v = comb(jnp.asarray(burst), 5.0, 900)
         bits = np.asarray(slice_diff_invert(quadrature_demod(s)))[np.asarray(v)]
         frames = deframe(bits)
         assert len(frames) == 1 and frames[0].payload == raw, ppm
