@@ -34,6 +34,10 @@ _FORMATS = {
     # channelizer buries the quantization noise) but NOT at 48 ksps
     # channel rate, where 2-bit noise lands in-band.
     "ci2": (np.uint8, 1),
+    # 1-bit sigma-delta IQ, 4 samples/byte (ops/convert.py ci1 layout).
+    # Same processing-gain requirement as ci2, but stricter: the noise
+    # shaping assumes a high oversampling ratio (wideband rates only).
+    "ci1": (np.uint8, 1),
 }
 
 
@@ -41,6 +45,8 @@ def _bytes_per_sample(fmt: str) -> float:
     """Wire bytes per complex sample (fractional for packed formats)."""
     if fmt == "ci2":
         return 0.5
+    if fmt == "ci1":
+        return 0.25
     dtype, lanes = _FORMATS[fmt]
     return float(np.dtype(dtype).itemsize * lanes)
 
@@ -69,6 +75,11 @@ def _convert(raw: np.ndarray, fmt: str) -> np.ndarray:
         m = codes.astype(np.float32) - 1.5
         lv = np.sign(m) * np.where(np.abs(m) > 1.0, CI2_OUTER, CI2_INNER)
         return (lv[0::2] + 1j * lv[1::2]).astype(np.complex64)
+    if fmt == "ci1":
+        # 4 samples/byte, MSB-first I0 Q0 I1 Q1 ... -> ±1 levels (the
+        # host mirror of ops/convert.py:iq_from_bytes_ci1).
+        bits = np.unpackbits(raw.astype(np.uint8)).astype(np.float32) * 2.0 - 1.0
+        return (bits[0::2] + 1j * bits[1::2]).astype(np.complex64)
     try:
         from ais_tpu.native import iq_convert  # C++ fast path
 
@@ -164,13 +175,52 @@ class UdpSource(SampleSource):
             sock.close()
 
 
-def open_source(source: str, sample_rate: float, fmt: str = "complex64") -> SampleSource:
+def open_source(
+    source: str,
+    sample_rate: float,
+    fmt: str = "complex64",
+    *,
+    device_args: str = "",
+    freq_hz: float = 162.0e6,
+    gain_db: float | None = None,
+    ppm: int = 0,
+) -> SampleSource:
     """Parse the reference CLI's `-s` convention: "uhd" | "osmocom" |
-    <ip:port> | <filename> (reference: python/radio.py:105-106, 202-213)."""
+    <ip:port> | <filename> (reference: python/radio.py:105-106, 202-213).
+
+    `osmocom` with a ``rtl_tcp=host:port`` device string (the osmosdr
+    convention the reference's `-D` argument carries,
+    python/radio.py:188) — or a direct ``rtl_tcp:host:port`` source —
+    opens a live rtl_tcp network SDR with working freq/rate/gain/ppm
+    control (`ais_tpu/io/rtl_tcp.py`).  USB-attached UHD/osmosdr devices
+    have no driver in this build and raise with guidance.
+    """
+    rtl_spec = None
+    if source.startswith("rtl_tcp"):
+        rtl_spec = source
+    elif source == "osmocom":
+        rtl_spec = next(
+            (a for a in device_args.split(",") if a.strip().startswith("rtl_tcp")),
+            None,
+        )
+    if rtl_spec is not None:
+        from ais_tpu.io.rtl_tcp import RtlTcpSource, parse_rtl_tcp_addr
+
+        host, port = parse_rtl_tcp_addr(rtl_spec.strip())
+        return RtlTcpSource(
+            host=host,
+            port=port,
+            sample_rate=sample_rate,
+            freq_hz=freq_hz,
+            gain_db=gain_db,
+            ppm=ppm,
+        )
     if source in ("uhd", "osmocom"):
         raise RuntimeError(
             f"SDR hardware source {source!r} is not available in this build; "
-            "stream samples over UDP (ip:port) or use a capture file"
+            "use -s rtl_tcp:<host>:<port> (or -s osmocom -D rtl_tcp=<host>:<port>) "
+            "for a network SDR, stream samples over UDP (ip:port), or use a "
+            "capture file"
         )
     if ":" in source and not Path(source).exists():
         host, port = source.rsplit(":", 1)

@@ -167,7 +167,13 @@ class AisRadio:
         return self.rx_paths[0].baseband.get_threshold()
 
     def set_gain(self, gain: float) -> float:
+        """Forwarded to a live hardware source when one is attached
+        (rtl_tcp tuner gain), mirroring the reference's pubsub "gain"
+        subscription commanding the SDR (python/radio.py:93-98,134)."""
         self._gain = gain
+        src = getattr(self, "_source", None)
+        if src is not None and hasattr(src, "set_gain"):
+            src.set_gain(gain)
         return self.get_gain()
 
     def get_gain(self) -> float:
@@ -188,6 +194,7 @@ class AisRadio:
         scheduler (apps/ais_rx:19); here the host loop pulls chunks and
         the TPU pipeline drains them.
         """
+        self._source = source
         for chunk in source.chunks(chunk_len):
             for p in self.process(chunk):
                 if on_packet is not None:

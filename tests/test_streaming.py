@@ -187,6 +187,15 @@ class TestIo:
         w = read_iq_file(p2, "ci2")
         np.testing.assert_allclose(w, np.asarray(iq_from_bytes_ci2(wire)), atol=1e-6)
 
+        # ci1 host read mirrors the on-device sigma-delta reconstruction.
+        from ais_tpu.ops.convert import iq_from_bytes_ci1
+
+        wire1 = host_bytes(iq, "ci1")
+        p1 = tmp_path / "a.ci1"
+        wire1.tofile(p1)
+        w1 = read_iq_file(p1, "ci1")
+        np.testing.assert_allclose(w1, np.asarray(iq_from_bytes_ci1(wire1)), atol=1e-6)
+
     def test_open_source_dispatch(self, tmp_path):
         f = tmp_path / "x.iq"
         f.write_bytes(b"\0" * 8)
