@@ -19,6 +19,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+import numpy as np
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -118,9 +120,13 @@ def main(argv: list[str] | None = None) -> int:
     try:
         for packet in radio.run(src):
             if options.meta:
+                rssi_db = (
+                    10.0 * np.log10(packet.rssi) if packet.rssi > 0 else float("-inf")
+                )
                 print(
                     f"[{packet.designator} @{packet.abs_sample} "
-                    f"corr={packet.corr_mag:.0f} f={packet.freq_est_hz:+.0f}Hz] "
+                    f"corr={packet.corr_mag:.0f} f={packet.freq_est_hz:+.0f}Hz "
+                    f"rssi={rssi_db:.1f}dBfs] "
                     f"{packet.nmea}",
                     flush=True,
                 )

@@ -26,6 +26,11 @@ class DecodedPacket:
     designator: str
     corr_mag: float
     freq_est_hz: float
+    # Mean pre-AGC power over the burst window (linear).  corr_mag is
+    # measured AFTER the envelope-normalizing AGC and so says nothing
+    # about received strength; rssi does.  0.0 when the producer
+    # predates the field.
+    rssi: float = 0.0
 
     @property
     def nmea(self) -> str:
@@ -112,6 +117,7 @@ def _emit_packets(
     deduper: PacketDeduper | None,
     samples_per_symbol: float,
     out: list,
+    rssi: float = 0.0,
 ) -> None:
     """Anchor each frame to its own preamble and dedup-admit it.
 
@@ -129,6 +135,7 @@ def _emit_packets(
             designator=designator,
             corr_mag=mag,
             freq_est_hz=freq_hz,
+            rssi=rssi,
         )
         if deduper is None or deduper.admit(packet):
             out.append(packet)
@@ -211,6 +218,7 @@ def decode_wire_records(
                 dedupers[c] if dedupers is not None else None,
                 samples_per_symbol,
                 packets,
+                rssi=float(meta_f[c, b, k, 2]),
             )
         packets.sort(key=lambda p: p.abs_sample)
         return packets
@@ -232,6 +240,7 @@ def decode_wire_records(
             dedupers[c] if dedupers is not None else None,
             samples_per_symbol,
             packets,
+            rssi=float(meta_f[c, b, k, 2]),
         )
     packets.sort(key=lambda p: p.abs_sample)
     return packets
@@ -262,6 +271,11 @@ def decode_block_records(
         )
     positions = np.asarray(records.position)
     mags = np.asarray(records.mag)
+    rssis = (
+        np.asarray(records.rssi)
+        if hasattr(records, "rssi")
+        else np.zeros_like(mags)
+    )
     bits = np.asarray(records.bits)
     bit_valid = np.asarray(records.bit_valid)
     freq_est = np.asarray(records.freq_est)
@@ -285,5 +299,55 @@ def decode_block_records(
             deduper,
             samples_per_symbol,
             packets,
+            rssi=float(rssis[k]),
         )
     return packets
+
+
+# A ghost is the SAME transmission seen through the mirrored spectrum:
+# its decoded bit stream is identical, so its frame anchor lands on the
+# same sample (probe-exact in practice; a few samples of estimator
+# jitter at most).  Distinct transmissions that merely overlap — even
+# deliberate same-payload tests — start >= a slot-timing quantum apart,
+# so a tight window separates the two cases where DEDUP_WINDOW cannot.
+IMAGE_GHOST_WINDOW = 64
+
+
+def suppress_image_ghosts(
+    packets: list, window: int = IMAGE_GHOST_WINDOW, margin_db: float = 6.0
+) -> list:
+    """Drop I/Q-image ghosts from a merged multi-channel packet list.
+
+    Receiver I/Q gain/phase imbalance mirrors channel A's spectrum into
+    channel B's passband (and vice versa: the two AIS carriers sit
+    symmetrically at +-25 kHz, python/radio.py:86-89).  The mirrored
+    signal is the complex conjugate, whose FM discriminator output is
+    negated — but NRZI is differentially decoded, so the inverted bit
+    stream decodes to the IDENTICAL payload with a VALID CRC: at ~1 dB /
+    5 deg imbalance (IRR ~ -23 dB, typical of cheap SDRs) the ghost
+    passes every bit-level check.  Post-AGC correlation magnitude is
+    amplitude-blind, so the only reliable discriminator is the pre-AGC
+    burst power: the ghost is exactly IRR weaker.
+
+    Two same-payload sightings on DIFFERENT channels within `window`
+    samples cannot both be real transmissions (an AIS station transmits
+    one channel per slot; the payload carries the MMSI), so the weaker
+    is dropped when it is at least `margin_db` below the stronger —
+    sightings of comparable power are both kept (never discard in the
+    ambiguous case).  The reference prints both ghosts (it has no
+    cross-channel view); this is a deliberate improvement
+    (ARCHITECTURE.md §3).
+    """
+    ratio = 10.0 ** (margin_db / 10.0)
+    drop: set[int] = set()
+    for i, p in enumerate(packets):
+        for j in range(i + 1, len(packets)):
+            q = packets[j]
+            if abs(q.abs_sample - p.abs_sample) >= window:
+                break  # input sorted by abs_sample
+            if q.designator == p.designator or q.payload != p.payload:
+                continue
+            weak, strong = (i, q) if p.rssi < q.rssi else (j, p)
+            if strong.rssi > ratio * packets[weak].rssi > 0.0:
+                drop.add(weak)
+    return [p for i, p in enumerate(packets) if i not in drop]

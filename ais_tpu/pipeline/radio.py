@@ -136,6 +136,10 @@ class AisRadio:
         for rx in self.rx_paths:
             packets.extend(rx.process(iq))
         packets.sort(key=lambda p: p.abs_sample)
+        if len(self.rx_paths) > 1:
+            from ais_tpu.pipeline.host import suppress_image_ghosts
+
+            packets = suppress_image_ghosts(packets)
         return packets
 
     # -- pubsub-style runtime controls (reference: python/radio.py:93-149).

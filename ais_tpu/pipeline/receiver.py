@@ -55,6 +55,14 @@ class BurstRecords(NamedTuple):
                            # extraction window (bit b sits near
                            # win_start + b*sps): the anchor for per-frame
                            # absolute positioning on host
+    rssi: jax.Array        # (K,) f32 — mean PRE-AGC power over the burst
+                           # window.  The feedforward AGC normalizes every
+                           # burst's envelope before correlation, so
+                           # `mag` is amplitude-blind; rssi restores the
+                           # received-strength axis (the reference has no
+                           # equivalent — its AGC discards it too).  Used
+                           # to rank same-payload sightings, e.g. I/Q
+                           # image ghosts (pipeline/host.py).
 
 
 def required_halo(cfg: DemodConfig) -> int:
@@ -167,6 +175,27 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
         )  # (B*K, win_len)
         burst_offsets = (starts - win_idx * grid).reshape(B * K)  # in [0, grid)
 
+        # Pre-AGC received power per burst (RSSI): mean |x|^2 over the
+        # grid cells the extraction window covers, selected with the same
+        # one-hot contraction (gather-free).  Cell sums via cumsum keep
+        # this O(n_win) regardless of window length.
+        p_cell = (jnp.real(xb) ** 2 + jnp.imag(xb) ** 2).reshape(
+            B, n_win, grid
+        ).mean(axis=-1)                               # (B, n_win)
+        w_cells = win_len // grid
+        cs = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.float32), jnp.cumsum(p_cell, axis=-1)], axis=-1
+        )                                             # (B, n_win + 1)
+        i0 = jnp.arange(n_win, dtype=jnp.int32)
+        i1 = jnp.minimum(i0 + w_cells, n_win)
+        win_power = (cs[:, i1] - cs[:, i0]) / jnp.maximum(
+            (i1 - i0).astype(jnp.float32), 1.0
+        )                                             # (B, n_win)
+        rssi = jnp.dot(
+            onehot_w, win_power.reshape(B * n_win),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, K)
+
         # Per-burst chunk estimate via a one-hot contraction (gather-free).
         chunk_idx = jnp.clip(pos // cfg.fftlen, 0, est.shape[-1] - 1)  # (B, K)
         onehot = (
@@ -237,7 +266,7 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
         sym_valid = sym_valid.reshape(B, K, n_sym)
         rec = BurstRecords(
             pos, centers, phases, mags, valid, bits, sym_valid, est, n_det,
-            (win_idx * grid).astype(jnp.int32),
+            (win_idx * grid).astype(jnp.int32), rssi,
         )
         if single:
             rec = jax.tree.map(lambda t: t[0], rec)

@@ -44,6 +44,11 @@ class WidebandConfig(NamedTuple):
                                          # the reference's 1 kHz at 250 ksps
     block_len: int = 16384               # demod block at channel rate
     demod: DemodConfig = DemodConfig()
+    # Drop cross-channel I/Q-image ghosts (same payload, same instant,
+    # other channel, >=6 dB weaker pre-AGC power — see
+    # pipeline/host.py:suppress_image_ghosts).  False restores the
+    # reference behavior (it prints the ghost too).
+    image_reject: bool = True
 
     @property
     def channel_rate(self) -> float:
@@ -74,7 +79,8 @@ class WireRecords(NamedTuple):
 
     meta_i: jax.Array  # (C, B, K, 4) i32: position, win_start, valid,
                        #   n_detected (broadcast per block)
-    meta_f: jax.Array  # (C, B, K, 2) f32: corr mag^2, freq_est_hz
+    meta_f: jax.Array  # (C, B, K, 3) f32: corr mag^2, freq_est_hz,
+                       #   pre-AGC rssi (mean |x|^2 over the burst window)
     packed: jax.Array  # (C, B, K, 2, ceil(n_sym/8)) u8: [0] bits,
                        #   [1] bit_valid, MSB-first within each byte
 
@@ -114,7 +120,7 @@ def pack_wire_records(rec: BurstRecords, fftlen: int) -> WireRecords:
         ],
         axis=-1,
     )
-    meta_f = jnp.stack([rec.mag, freq], axis=-1)
+    meta_f = jnp.stack([rec.mag, freq, rec.rssi], axis=-1)
     return WireRecords(meta_i, meta_f, packed)
 
 
@@ -126,7 +132,7 @@ def pack_wire_flat(rec: BurstRecords, fftlen: int) -> jax.Array:
     meta into little-endian bytes on device (shift+mask; float32 via a
     same-width bitcast) and concatenating with the packed bit planes
     makes the whole fetch a single transfer.  Layout:
-      [meta_i as (C*B*K*4) le-i32 bytes][meta_f as (C*B*K*2) le-f32
+      [meta_i as (C*B*K*4) le-i32 bytes][meta_f as (C*B*K*3) le-f32
       bytes][packed (C*B*K*2*n_pack)].
     """
     w = pack_wire_records(rec, fftlen)
@@ -149,9 +155,9 @@ def unpack_wire_flat(
     beyond the frombuffer)."""
     buf = np.asarray(buf, dtype=np.uint8)
     ni = C * B * K * 4 * 4
-    nf = C * B * K * 2 * 4
+    nf = C * B * K * 3 * 4
     meta_i = np.frombuffer(buf[:ni].tobytes(), "<i4").reshape(C, B, K, 4)
-    meta_f = np.frombuffer(buf[ni : ni + nf].tobytes(), "<f4").reshape(C, B, K, 2)
+    meta_f = np.frombuffer(buf[ni : ni + nf].tobytes(), "<f4").reshape(C, B, K, 3)
     packed = buf[ni + nf :].reshape(C, B, K, 2, n_pack)
     return WireRecords(meta_i, meta_f, packed)
 
@@ -518,7 +524,7 @@ class WidebandReceiver:
             demod_cfg.max_bursts_per_block,
             n_pack,
         )
-        return decode_wire_records(
+        packets = decode_wire_records(
             rec_np,
             n_sym,
             chan_start,
@@ -527,6 +533,11 @@ class WidebandReceiver:
             dedupers=self._dedupers,
             samples_per_symbol=self.cfg.sps,
         )
+        if self.cfg.image_reject:
+            from ais_tpu.pipeline.host import suppress_image_ghosts
+
+            packets = suppress_image_ghosts(packets)
+        return packets
 
     def decode_wire(self, raw_u8: np.ndarray, fmt: str = "ci8"):
         """Decode one n_in-sample step fed as integer wire bytes
@@ -552,6 +563,10 @@ class WidebandReceiver:
                     )
                 )
         packets.sort(key=lambda p: p.abs_sample)
+        if self.cfg.image_reject:
+            from ais_tpu.pipeline.host import suppress_image_ghosts
+
+            packets = suppress_image_ghosts(packets)
         return packets
 
     def device_step(self, x: np.ndarray, start_raw: int):

@@ -14,6 +14,8 @@ import numpy as np
 import pytest
 
 from oracle_modulator import (
+    apply_phase_noise,
+    apply_rician_fading,
     aivdm_chars_to_bytes,
     apply_cfo,
     apply_clock_offset,
@@ -154,3 +156,59 @@ class TestOracleSnr:
         low = 13.0
         assert self._success_rate(low, mlse, n_trials=6) >= 0.8
         assert self._success_rate(low, DemodConfig(), n_trials=6) <= 0.2
+
+
+class TestOracleChannelEffects:
+    """Round-2 corpus widening: co-slot collisions, oscillator phase
+    noise, maritime Rician fading, DC offset, Class B payloads — all
+    through the zero-shared-code oracle transmitter."""
+
+    @pytest.fixture(scope="class")
+    def pkt(self):
+        return make_oracle_packet(aivdm_chars_to_bytes(PAYLOAD_STR), sps=5)
+
+    @pytest.mark.parametrize("ci_db", [6.0, 10.0])
+    def test_slot_collision_capture(self, pkt, ci_db):
+        # Two ships in the same TDMA slot (the long-range collision case
+        # SOTDMA cannot prevent): FM capture must hand the slot to the
+        # stronger carrier, and the weak interferer must never surface
+        # as a CRC-valid wrong packet.
+        rng = np.random.default_rng(7)
+        interferer = make_oracle_packet(
+            bytes([0x04]) + bytes(rng.integers(0, 256, 20).tolist()), sps=5
+        )
+        iq = embed(pkt)
+        w = apply_cfo(interferer, 150.0, FS) * 10 ** (-ci_db / 20)
+        iq[9400 : 9400 + w.size] += w.astype(np.complex64)
+        assert BasebandReceiver().sentences(iq) == [SENTENCE]
+
+    def test_oscillator_phase_noise(self, pkt):
+        # Wiener LO phase noise at 0.02 rad/sample rms step — harsher
+        # than any real VHF synthesizer — through the discriminator.
+        rng = np.random.default_rng(11)
+        iq = embed(apply_phase_noise(pkt, 0.02, rng))
+        assert BasebandReceiver().sentences(iq) == [SENTENCE]
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_rician_fading(self, pkt, seed):
+        # Maritime LOS + sea-scatter: K = 10 dB, 5 Hz Doppler (a 20 kn
+        # vessel at 162 MHz), Jakes sum-of-sinusoids scatter.
+        rng = np.random.default_rng(seed)
+        iq = embed(apply_rician_fading(pkt, FS, 5.0, 10.0, rng))
+        assert BasebandReceiver().sentences(iq) == [SENTENCE]
+
+    def test_dc_offset_baseband(self, pkt):
+        # In-band DC (direct-conversion leakage at channel rate); the
+        # wideband path instead rejects even large spikes in the
+        # channelizer (tests/test_wideband.py:test_sdr_dc_spike_rejected).
+        iq = embed(pkt) + np.complex64(0.05 * (1 + 0.5j))
+        assert BasebandReceiver().sentences(iq) == [SENTENCE]
+
+    def test_type18_class_b_report(self):
+        # Type 18 (Class B position report, 168 bits): armors to 'B'.
+        rng = np.random.default_rng(18)
+        payload = bytes([0x48]) + bytes(rng.integers(0, 256, 20).tolist())
+        pkt = make_oracle_packet(payload, sps=5)
+        got = BasebandReceiver().process(embed(pkt))
+        assert [p.payload for p in got] == [payload]
+        assert got[0].nmea.startswith("!AIVDM,1,1,,A,B")

@@ -152,6 +152,9 @@ def test_wire_flat_roundtrip_exact():
         win_start=jnp.asarray(
             rng.integers(0, 2**24, size=(C, B, K)), jnp.int32
         ),
+        rssi=jnp.asarray(
+            rng.uniform(0, 2.0, size=(C, B, K)).astype(np.float32)
+        ),
     )
     fftlen = 1024
     flat = np.asarray(pack_wire_flat(rec, fftlen))
@@ -340,3 +343,83 @@ def test_near_far_ci4_at_12db(receiver):
     rx2 = WidebandReceiver(receiver.cfg, n_in=receiver.n_in)
     got = rx2.decode_wire(host_bytes(iq, "ci4"), "ci4")
     assert sorted(p.nmea for p in got) == [SENTENCE_A, SENTENCE_B]
+
+
+def _dual_scene(n_in):
+    raw = aivdm_payload_to_bytes(PAYLOAD)
+    return Scenario(
+        sample_rate=2.4e6,
+        n_samples=n_in,
+        noise=0.004,
+        packets=[
+            ScenarioPacket(raw, 200000, -25e3, phase=0.7),
+            ScenarioPacket(raw, 700000, +25e3, amplitude=0.6,
+                           extra_freq_hz=140.0),
+        ],
+    ).build()
+
+
+def test_sdr_dc_spike_rejected(receiver):
+    """A large DC offset (the classic RTL-SDR center spike, 0.25 full
+    scale — bigger than channel B's signal) sits 25 kHz from both
+    channel carriers: the channelizer's stopband must remove it
+    entirely.  The reference gets the same protection from its
+    `low_pass(1, rate, 11000, 1000)` (python/radio.py:49) — this pins
+    ours."""
+    rx = WidebandReceiver(receiver.cfg, n_in=receiver.n_in)
+    iq = _dual_scene(rx.n_in) + np.complex64(0.25 * (1 + 0.6j))
+    assert [p.nmea for p in rx.decode(iq)] == [SENTENCE_A, SENTENCE_B]
+
+
+def test_iq_imbalance_image_ghosts_suppressed():
+    """Receiver I/Q imbalance (1 dB / 5 deg, IRR ~ -23 dB — a cheap-SDR
+    figure) mirrors each channel into the other.  The mirrored conjugate
+    GMSK FM-inverts, which differential NRZI decoding cancels, so the
+    ghost decodes to the IDENTICAL payload with a VALID CRC on the wrong
+    channel.  Post-AGC corr_mag cannot see the 23 dB difference; the
+    pre-AGC rssi field can, and suppress_image_ghosts drops the ghosts
+    on both the float and wire paths.  image_reject=False restores the
+    reference behavior (it would print the ghosts too)."""
+    from oracle_modulator import apply_iq_imbalance
+    from ais_tpu.ops.convert import host_bytes
+
+    cfg = WidebandConfig()
+    rx = WidebandReceiver(cfg)
+    iq = apply_iq_imbalance(_dual_scene(rx.n_in), 1.0, 5.0)
+
+    assert [p.nmea for p in rx.decode(iq)] == [SENTENCE_A, SENTENCE_B]
+
+    rx_wire = WidebandReceiver(cfg, n_in=rx.n_in)
+    got = rx_wire.decode_wire(host_bytes(iq, "ci8"), "ci8")
+    assert [p.nmea for p in got] == [SENTENCE_A, SENTENCE_B]
+
+    # Reference-faithful mode: ghosts present, payload-identical, on the
+    # mirror channel at the same anchor, ~IRR (20-26 dB) weaker in rssi.
+    rx_off = WidebandReceiver(cfg._replace(image_reject=False), n_in=rx.n_in)
+    ghosts = rx_off.decode(iq)
+    assert len(ghosts) == 4
+    by_pos = {}
+    for p in ghosts:
+        by_pos.setdefault(p.abs_sample, []).append(p)
+    for pos, pair in by_pos.items():
+        assert len(pair) == 2
+        assert {q.designator for q in pair} == {"A", "B"}
+        assert pair[0].payload == pair[1].payload
+        lo, hi = sorted(q.rssi for q in pair)
+        irr_db = 10 * np.log10(hi / lo)
+        assert 18.0 < irr_db < 28.0
+
+
+def test_rssi_tracks_received_power(receiver):
+    """rssi is pre-AGC: two packets 4.4 dB apart in amplitude must show
+    ~that ratio, while corr_mag (post-AGC) shows nearly none."""
+    rx = WidebandReceiver(receiver.cfg, n_in=receiver.n_in)
+    pkts = rx.decode(_dual_scene(rx.n_in))
+    assert [p.designator for p in pkts] == ["A", "B"]
+    a, b = pkts
+    ratio_db = 10 * np.log10(a.rssi / b.rssi)
+    # amplitude 1.0 vs 0.6 -> 4.44 dB power ratio (window noise dilutes
+    # it slightly).
+    assert 3.0 < ratio_db < 5.5
+    mag_db = abs(10 * np.log10(a.corr_mag / b.corr_mag))
+    assert mag_db < 2.0
