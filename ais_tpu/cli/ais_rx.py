@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="prefix each sentence with sample position, channel, corr power",
     )
+    p.add_argument(
+        "--decode",
+        action="store_true",
+        help="append parsed message fields (type, MMSI, position, ...) "
+        "after each sentence",
+    )
     return p
 
 
@@ -119,19 +125,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     try:
         for packet in radio.run(src):
+            line = packet.nmea
             if options.meta:
                 rssi_db = (
                     10.0 * np.log10(packet.rssi) if packet.rssi > 0 else float("-inf")
                 )
-                print(
+                line = (
                     f"[{packet.designator} @{packet.abs_sample} "
                     f"corr={packet.corr_mag:.0f} f={packet.freq_est_hz:+.0f}Hz "
                     f"rssi={rssi_db:.1f}dBfs] "
-                    f"{packet.nmea}",
-                    flush=True,
+                    f"{line}"
                 )
-            else:
-                print(packet.nmea, flush=True)
+            if options.decode:
+                from ais_tpu.decode.fields import format_fields
+
+                line = f"{line}  {{{format_fields(packet.fields)}}}"
+            print(line, flush=True)
     except KeyboardInterrupt:
         pass
     return 0

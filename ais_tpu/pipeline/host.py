@@ -42,6 +42,14 @@ class DecodedPacket:
         output port (lib/pdu_to_nmea_impl.cc:137-144)."""
         return self.nmea.encode("ascii")
 
+    @property
+    def fields(self) -> dict:
+        """Parsed AIS message fields (decode/fields.py) — past the
+        armoring boundary where the reference stops."""
+        from ais_tpu.decode.fields import parse_fields
+
+        return parse_fields(self.payload)
+
 
 # Packets are anchored to their *own* preamble sample (frame start-bit
 # arithmetic below), so two sightings of one transmission land within a
