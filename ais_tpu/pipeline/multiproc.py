@@ -96,10 +96,24 @@ def _worker_main(cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q):
                 (
                     "pkts",
                     step_idx,
-                    [
-                        (p.payload, p.abs_sample, p.designator, p.corr_mag, p.freq_est_hz)
-                        for p in pkts
-                    ],
+                    {
+                        "packets": [
+                            (
+                                p.payload,
+                                p.abs_sample,
+                                p.designator,
+                                p.corr_mag,
+                                p.freq_est_hz,
+                                p.rssi,
+                            )
+                            for p in pkts
+                        ],
+                        # Collect-path split for the parent's profile
+                        # (fetch = exec wait + d2h on this worker's
+                        # connection, host = HDLC/NMEA back half).
+                        "fetch_s": rx.last_collect_s[0],
+                        "host_s": rx.last_collect_s[1],
+                    },
                 )
             )
     except Exception as e:  # noqa: BLE001 — surface worker death to parent
@@ -180,6 +194,9 @@ class MultiProcessWideband:
             for w in range(n_workers)
         ]
         self._outstanding = 0
+        # Aggregated worker collect-path split (fetch = exec wait + d2h,
+        # host = HDLC/NMEA), summed over collected steps.
+        self.collect_stats = {"fetch_s": 0.0, "host_s": 0.0, "steps": 0}
 
     def start(self, timeout: float = 1800.0) -> None:
         """Launch workers and block until every one is warm (receiver
@@ -208,7 +225,10 @@ class MultiProcessWideband:
             if kind == "error":
                 raise RuntimeError(f"fan worker failed: {payload}")
             self._outstanding -= 1
-            for pl, pos, desig, mag, freq in payload:
+            self.collect_stats["fetch_s"] += payload["fetch_s"]
+            self.collect_stats["host_s"] += payload["host_s"]
+            self.collect_stats["steps"] += 1
+            for pl, pos, desig, mag, freq, rssi in payload["packets"]:
                 packets.append(
                     DecodedPacket(
                         payload=pl,
@@ -216,6 +236,7 @@ class MultiProcessWideband:
                         designator=desig,
                         corr_mag=mag,
                         freq_est_hz=freq,
+                        rssi=rssi,
                     )
                 )
         packets.sort(key=lambda p: (p.abs_sample, p.designator))

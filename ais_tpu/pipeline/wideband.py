@@ -364,6 +364,10 @@ class WidebandReceiver:
         self._dedupers = [
             PacketDeduper() for _ in cfg.offsets_hz
         ]
+        # Cumulative collect-path split (see collect()): fetch = blocking
+        # device-result wait + d2h, host = HDLC/NMEA back half.
+        self.collect_stats = {"fetch_s": 0.0, "host_s": 0.0, "steps": 0}
+        self.last_collect_s = (0.0, 0.0)
 
     # -- wire-format (integer IQ) path ---------------------------------------
     #
@@ -506,7 +510,16 @@ class WidebandReceiver:
         return self.dispatch_wire(self.stage_wire(raw_u8, fmt, pos))
 
     def collect(self, handle):
-        """Block on a submit_wire handle and host-decode its packets."""
+        """Block on a submit_wire handle and host-decode its packets.
+
+        Per-step timing lands in `collect_stats`: `fetch_s` is the blocking
+        device-result fetch (execution wait + d2h transfer — on the tunnel
+        backend these are indistinguishable from host side), `host_s` the
+        numpy/native HDLC back half.  The split answers "what binds the
+        collect path" directly (bench.py reports the fractions).
+        """
+        import time as _time
+
         flat, chan_start = handle
         from ais_tpu.pipeline.host import decode_wire_records
 
@@ -517,8 +530,11 @@ class WidebandReceiver:
         )
         _, n_sym = burst_table_geometry(demod_cfg)
         n_pack = -(-n_sym // 8)
+        t0 = _time.perf_counter()
+        flat_np = np.asarray(flat)  # blocks: exec wait + d2h
+        t1 = _time.perf_counter()
         rec_np = unpack_wire_flat(
-            np.asarray(flat),
+            flat_np,
             self.n_chan,
             self.n_blocks,
             demod_cfg.max_bursts_per_block,
@@ -537,6 +553,12 @@ class WidebandReceiver:
             from ais_tpu.pipeline.host import suppress_image_ghosts
 
             packets = suppress_image_ghosts(packets)
+        t2 = _time.perf_counter()
+        self.last_collect_s = (t1 - t0, t2 - t1)
+        st = self.collect_stats
+        st["fetch_s"] += t1 - t0
+        st["host_s"] += t2 - t1
+        st["steps"] += 1
         return packets
 
     def decode_wire(self, raw_u8: np.ndarray, fmt: str = "ci8"):

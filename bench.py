@@ -137,6 +137,20 @@ WIRE_FMT = "ci1"  # 1-bit sigma-delta IQ, 4 samples/byte: the ingest
 #   and ci4 remain for front ends without a sigma-delta path.
 
 
+def _split(stats: dict | None) -> dict | None:
+    """Render a collect_stats dict as per-step ms + fetch fraction."""
+    if not stats or not stats.get("steps"):
+        return None
+    n = stats["steps"]
+    tot = stats["fetch_s"] + stats["host_s"]
+    return {
+        "fetch_ms_per_step": round(stats["fetch_s"] / n * 1e3, 1),
+        "host_ms_per_step": round(stats["host_s"] / n * 1e3, 1),
+        "fetch_frac_of_collect": round(stats["fetch_s"] / tot, 3) if tot else None,
+        "steps": n,
+    }
+
+
 def measure(backend: str) -> dict:
     """Single-process measurement (the CPU cross-check path)."""
     import jax
@@ -203,7 +217,7 @@ def measure(backend: str) -> dict:
     # connections; with executions lock-serialized the fan roughly
     # doubles sustained ingest (pipeline/multiproc.py).  One chip, one
     # host — the fan is ingest orchestration, not extra compute.
-    fan_msps, mode = None, "single-process"
+    fan_msps, mode, fan_stats = None, "single-process", None
     if backend == "tpu":
         try:
             from ais_tpu.pipeline.multiproc import MultiProcessWideband
@@ -227,6 +241,7 @@ def measure(backend: str) -> dict:
                     if fan_best is None or dt < fan_best:
                         fan_best = dt
             finally:
+                fan_stats = dict(fan.collect_stats)
                 fan.close()
             fan_msps = n_in * iters / fan_best / 1e6
             if fan_msps > msps:
@@ -252,6 +267,13 @@ def measure(backend: str) -> dict:
             "single_process_msps": round(n_in * iters / best_dt / 1e6, 2),
             "fan3_msps": round(fan_msps, 2) if fan_msps else None,
             "collect_frac": round(host_s / best_dt, 3),
+            # Collect-path split (cumulative over all windows): "fetch" is
+            # the blocking device-result wait (exec + d2h — on the tunnel
+            # these are one FIFO), "host" the HDLC/NMEA back half.  The
+            # STATUS question "what binds the collect path" is answered
+            # here: host_ms_per_step is the true host floor.
+            "collect_split": _split(rx.collect_stats),
+            "fan_collect_split": _split(fan_stats) if fan_stats else None,
             "pipeline_depth": best_depth,
             "compile_s": round(compile_s, 1),
             "n_in_per_call": n_in,
