@@ -54,9 +54,21 @@ from ais_tpu.pipeline.wideband import WidebandConfig, num_taps, wideband_geometr
 
 def _worker_main(cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q):
     """One fan worker: build a receiver on its own device connection and
-    decode the steps it is handed.  Runs in a spawned process."""
+    decode the steps it is handed.  Runs in a spawned process.
+
+    The step loop is PIPELINED: after fetching step N's records (d2h)
+    the worker immediately stages step N+1's h2d transfer, then runs
+    N's host HDLC back half — so the long wire transfer streams on this
+    worker's private connection while the host decodes and while OTHER
+    workers hold the exec lock.  The transfer must not be queued any
+    earlier: the tunnel serializes all ops per connection, so an h2d
+    enqueued before step N's dispatch/fetch would sit ahead of them in
+    the connection FIFO and delay the execution (measured: that
+    ordering holds the exec lock through a whole transfer drain).
+    """
     try:
         import os
+        import time as _time
 
         # N clients sharing one chip must not each claim the default
         # ~75% of HBM (client init reads these at first device use).
@@ -74,24 +86,79 @@ def _worker_main(cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q):
         from ais_tpu.pipeline.wideband import WidebandReceiver
 
         rx = WidebandReceiver(cfg, n_in=n_in)
+        # Per-connection h2d bandwidth probe: one wire-sized transfer,
+        # timed unoverlapped (the first transfer also pays connection
+        # setup, so time the second).  This is the number that decides
+        # how many fan workers the link supports (bench reports it).
+        wire_nbytes = {"ci16": 4 * n_in, "ci8": 2 * n_in, "ci4": n_in,
+                       "ci2": n_in // 2, "ci1": n_in // 4}.get(fmt, n_in)
+        probe = np.zeros(wire_nbytes, np.uint8)
+        h2d_mbps = None
+        try:
+            for _ in range(2):
+                t0 = _time.perf_counter()
+                jax.block_until_ready(jax.device_put(probe))
+                dt = _time.perf_counter() - t0
+            h2d_mbps = wire_nbytes / dt / 1e6
+        except Exception:  # noqa: BLE001 — probe is informational only
+            pass
+        del probe
         # Warm-up (compile / persistent-cache load) runs unlocked: it is
         # a one-time cost and serializing it would stack N compiles
         # end-to-end (prohibitive on the CPU backend's ~60 s compile).
-        out_q.put(("ready", None, None))
-        while True:
-            item = in_q.get()
-            if item is None:
-                return
+        out_q.put(("ready", None, {"h2d_mbps": h2d_mbps}))
+
+        def stage(item):
             step_idx, wire = item
-            staged = rx.stage_wire(wire, fmt, pos=step_idx * rx.step_raw)
-            jax.block_until_ready(staged[0])  # own-connection transfer
+            t0 = _time.perf_counter()
+            st = rx.stage_wire(wire, fmt, pos=step_idx * rx.step_raw)
+            return (step_idx, st, wire.nbytes, _time.perf_counter() - t0)
+
+        staged_next = None
+        closing = False
+        while True:
+            if staged_next is not None:
+                cur, staged_next = staged_next, None
+            elif closing:
+                return
+            else:
+                item = in_q.get()
+                if item is None:
+                    return
+                cur = stage(item)
+            step_idx, staged, nbytes, stage_s = cur
+            t0 = _time.perf_counter()
+            jax.block_until_ready(staged[0])  # own-connection h2d drain
+            t1 = _time.perf_counter()
             if exec_lock is not None:
-                with exec_lock:  # one execution on the chip at a time
+                exec_lock.acquire()
+                t2 = _time.perf_counter()
+                try:  # one execution on the chip at a time
                     handle = rx.dispatch_wire(staged)
                     jax.block_until_ready(handle[0])
+                finally:
+                    exec_lock.release()
             else:
+                t2 = t1
                 handle = rx.dispatch_wire(staged)
-            pkts = rx.collect(handle)
+                jax.block_until_ready(handle[0])
+            t3 = _time.perf_counter()
+            fetched = rx.fetch_wire(handle)  # d2h only (exec already done)
+            t4 = _time.perf_counter()
+            # Pipeline: start the NEXT step's transfer before the host
+            # back half (see module docstring for why exactly here).
+            if not closing and staged_next is None:
+                try:
+                    item = in_q.get_nowait()
+                    if item is None:
+                        closing = True
+                    else:
+                        staged_next = stage(item)
+                except queue_mod.Empty:
+                    pass
+            t5 = _time.perf_counter()
+            pkts = rx.decode_fetched(fetched)
+            t6 = _time.perf_counter()
             out_q.put(
                 (
                     "pkts",
@@ -108,11 +175,19 @@ def _worker_main(cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q):
                             )
                             for p in pkts
                         ],
-                        # Collect-path split for the parent's profile
-                        # (fetch = exec wait + d2h on this worker's
-                        # connection, host = HDLC/NMEA back half).
-                        "fetch_s": rx.last_collect_s[0],
-                        "host_s": rx.last_collect_s[1],
+                        # Phase split for the parent's profile.  With
+                        # serialize_exec the phases are clean: exec_s is
+                        # dispatch + execution wait under the lock,
+                        # fetch_s is d2h only, transfer_wait_s is time
+                        # actually BLOCKED on the h2d (0 when the
+                        # pipelined prefetch fully hid it).
+                        "transfer_wait_s": t1 - t0,
+                        "lock_wait_s": t2 - t1,
+                        "exec_s": t3 - t2,
+                        "fetch_s": t4 - t3,
+                        "stage_s": (t5 - t4) + stage_s,
+                        "host_s": t6 - t5,
+                        "wire_bytes": nbytes,
                     },
                 )
             )
@@ -194,9 +269,22 @@ class MultiProcessWideband:
             for w in range(n_workers)
         ]
         self._outstanding = 0
-        # Aggregated worker collect-path split (fetch = exec wait + d2h,
-        # host = HDLC/NMEA), summed over collected steps.
-        self.collect_stats = {"fetch_s": 0.0, "host_s": 0.0, "steps": 0}
+        # Aggregated worker phase split, summed over collected steps:
+        # transfer_wait (time blocked on h2d), lock_wait, exec (dispatch
+        # + execution under the lock), fetch (d2h only), stage (h2d
+        # enqueue), host (HDLC/NMEA).  Per-connection h2d bandwidth
+        # probes land in `h2d_mbps` at start().
+        self.collect_stats = {
+            "transfer_wait_s": 0.0,
+            "lock_wait_s": 0.0,
+            "exec_s": 0.0,
+            "fetch_s": 0.0,
+            "stage_s": 0.0,
+            "host_s": 0.0,
+            "wire_bytes": 0,
+            "steps": 0,
+        }
+        self.h2d_mbps: list[float] = []
 
     def start(self, timeout: float = 1800.0) -> None:
         """Launch workers and block until every one is warm (receiver
@@ -208,6 +296,8 @@ class MultiProcessWideband:
             kind, _, payload = self._out_q.get(timeout=timeout)
             if kind == "error":
                 raise RuntimeError(f"fan worker failed during warmup: {payload}")
+            if isinstance(payload, dict) and payload.get("h2d_mbps"):
+                self.h2d_mbps.append(round(payload["h2d_mbps"], 1))
             ready += 1
 
     def submit(self, step_idx: int, wire: np.ndarray) -> None:
@@ -225,8 +315,16 @@ class MultiProcessWideband:
             if kind == "error":
                 raise RuntimeError(f"fan worker failed: {payload}")
             self._outstanding -= 1
-            self.collect_stats["fetch_s"] += payload["fetch_s"]
-            self.collect_stats["host_s"] += payload["host_s"]
+            for key in (
+                "transfer_wait_s",
+                "lock_wait_s",
+                "exec_s",
+                "fetch_s",
+                "stage_s",
+                "host_s",
+                "wire_bytes",
+            ):
+                self.collect_stats[key] += payload.get(key, 0)
             self.collect_stats["steps"] += 1
             for pl, pos, desig, mag, freq, rssi in payload["packets"]:
                 packets.append(
@@ -257,6 +355,12 @@ class MultiProcessWideband:
 
     def drain(self, timeout: float = 600.0):
         return self.collect(None, timeout)
+
+    def reset_collect_stats(self) -> None:
+        """Zero the aggregated phase split (call between bench windows so
+        per-step averages reflect one window, not warmup + all windows)."""
+        for key in self.collect_stats:
+            self.collect_stats[key] = 0 if key in ("steps", "wire_bytes") else 0.0
 
     def close(self) -> None:
         for q in self._in_qs:

@@ -49,6 +49,11 @@ class WidebandConfig(NamedTuple):
     # pipeline/host.py:suppress_image_ghosts).  False restores the
     # reference behavior (it prints the ghost too).
     image_reject: bool = True
+    # When a block's burst table caps out (n_detected > K), re-demod
+    # that block host-side with a larger table (pipeline/recover.py) so
+    # no detection is dropped — matching the reference's unbounded tag
+    # stream (lib/corr_est_cc_impl.cc:250-266).  False logs only.
+    overflow_recovery: bool = True
 
     @property
     def channel_rate(self) -> float:
@@ -489,18 +494,20 @@ class WidebandReceiver:
         ph = jnp.asarray(phase0s)
         if pos is None:
             self._pos += self.step_raw
-        return (buf, ph, at, fmt)
+        # The raw bytes ride along (a reference, not a copy) so overflow
+        # recovery can re-demod a capped block host-side.
+        return (buf, ph, at, fmt, raw_u8)
 
     def dispatch_wire(self, staged):
         """Dispatch the device program on a `stage_wire` handle; returns
         a handle for `collect()` (the jitted call does not block, so the
         result is a future)."""
-        buf, ph, at, fmt = staged
+        buf, ph, at, fmt, raw_u8 = staged
         car, hf = getattr(self, "_wire_bufs", {}).get(
             fmt, (self._carriers, self._hf)
         )
         rec = self._wire_fns[fmt](buf, ph, car, hf)
-        return (rec, at // self.cfg.decimation)
+        return (rec, at // self.cfg.decimation, raw_u8, fmt, at)
 
     def submit_wire(self, raw_u8: np.ndarray, fmt: str = "ci8", pos: int | None = None):
         """Enqueue one n_in-sample wire step (stage + dispatch); returns
@@ -509,18 +516,24 @@ class WidebandReceiver:
         stream."""
         return self.dispatch_wire(self.stage_wire(raw_u8, fmt, pos))
 
-    def collect(self, handle):
-        """Block on a submit_wire handle and host-decode its packets.
+    def fetch_wire(self, handle):
+        """Block on a submit_wire handle's device result and pull it to
+        host; returns an opaque fetched payload for `decode_fetched`.
 
-        Per-step timing lands in `collect_stats`: `fetch_s` is the blocking
-        device-result fetch (execution wait + d2h transfer — on the tunnel
-        backend these are indistinguishable from host side), `host_s` the
-        numpy/native HDLC back half.  The split answers "what binds the
-        collect path" directly (bench.py reports the fractions).
-        """
-        import time as _time
+        Split from `decode_fetched` so pipelined callers (the fan
+        workers, pipeline/multiproc.py) can start the NEXT step's h2d
+        transfer between the d2h fetch and the host HDLC back half —
+        on a strictly serial per-connection link those are the two
+        pieces worth overlapping."""
+        flat, chan_start, raw_u8, fmt, at = handle
+        # np.asarray blocks: exec wait + d2h.
+        return np.asarray(flat), chan_start, raw_u8, fmt, at
 
-        flat, chan_start = handle
+    def decode_fetched(self, fetched):
+        """Host back half of `collect`: HDLC/NMEA decode of a
+        `fetch_wire` payload, plus overflow recovery when a block's
+        burst table capped out."""
+        flat_np, chan_start, raw_u8, fmt, at = fetched
         from ais_tpu.pipeline.host import decode_wire_records
 
         import dataclasses
@@ -530,9 +543,6 @@ class WidebandReceiver:
         )
         _, n_sym = burst_table_geometry(demod_cfg)
         n_pack = -(-n_sym // 8)
-        t0 = _time.perf_counter()
-        flat_np = np.asarray(flat)  # blocks: exec wait + d2h
-        t1 = _time.perf_counter()
         rec_np = unpack_wire_flat(
             flat_np,
             self.n_chan,
@@ -549,10 +559,50 @@ class WidebandReceiver:
             dedupers=self._dedupers,
             samples_per_symbol=self.cfg.sps,
         )
+        if self.cfg.overflow_recovery:
+            k = demod_cfg.max_bursts_per_block
+            n_det = rec_np.meta_i[:, :, 0, 3]
+            over = [
+                (int(c), int(b), int(n_det[c, b]))
+                for c, b in zip(*np.nonzero(n_det > k))
+            ]
+            if over:
+                from ais_tpu.pipeline.recover import (
+                    host_iq_from_wire,
+                    recover_overflow_packets,
+                )
+
+                packets.extend(
+                    recover_overflow_packets(
+                        host_iq_from_wire(raw_u8, fmt),
+                        at,
+                        self.cfg,
+                        over,
+                        self._dedupers,
+                    )
+                )
+                packets.sort(key=lambda p: p.abs_sample)
         if self.cfg.image_reject:
             from ais_tpu.pipeline.host import suppress_image_ghosts
 
             packets = suppress_image_ghosts(packets)
+        return packets
+
+    def collect(self, handle):
+        """Block on a submit_wire handle and host-decode its packets.
+
+        Per-step timing lands in `collect_stats`: `fetch_s` is the blocking
+        device-result fetch (execution wait + d2h transfer — on the tunnel
+        backend these are indistinguishable from host side), `host_s` the
+        numpy/native HDLC back half.  The split answers "what binds the
+        collect path" directly (bench.py reports the fractions).
+        """
+        import time as _time
+
+        t0 = _time.perf_counter()
+        fetched = self.fetch_wire(handle)
+        t1 = _time.perf_counter()
+        packets = self.decode_fetched(fetched)
         t2 = _time.perf_counter()
         self.last_collect_s = (t1 - t0, t2 - t1)
         st = self.collect_stats
@@ -561,13 +611,21 @@ class WidebandReceiver:
         st["steps"] += 1
         return packets
 
+    def reset_collect_stats(self) -> None:
+        """Zero the cumulative collect-path split (call after warmup so
+        per-step averages reflect steady state only)."""
+        self.collect_stats = {"fetch_s": 0.0, "host_s": 0.0, "steps": 0}
+
     def decode_wire(self, raw_u8: np.ndarray, fmt: str = "ci8"):
         """Decode one n_in-sample step fed as integer wire bytes
         (submit + collect; see the stream contract above)."""
         return self.collect(self.submit_wire(raw_u8, fmt))
 
-    def _host_decode(self, rec_np, chan_start: int):
-        """Shared per-(channel, block) deframe loop (host back half)."""
+    def _host_decode(self, rec_np, chan_start: int, iq_raw=None):
+        """Shared per-(channel, block) deframe loop (host back half).
+
+        `iq_raw`: the step's raw complex samples (for burst-table
+        overflow recovery; None disables it for this step)."""
         from ais_tpu.pipeline.host import decode_block_records
 
         packets = []
@@ -582,6 +640,25 @@ class WidebandReceiver:
                         deduper=self._dedupers[c],
                         fftlen=self.cfg.demod.fftlen,
                         samples_per_symbol=self.cfg.sps,
+                    )
+                )
+        if self.cfg.overflow_recovery and iq_raw is not None:
+            k = self.cfg.demod.max_bursts_per_block
+            n_det = np.asarray(rec_np.n_detected)  # (C, B)
+            over = [
+                (int(c), int(b), int(n_det[c, b]))
+                for c, b in zip(*np.nonzero(n_det > k))
+            ]
+            if over:
+                from ais_tpu.pipeline.recover import recover_overflow_packets
+
+                packets.extend(
+                    recover_overflow_packets(
+                        iq_raw,
+                        chan_start * self.cfg.decimation,
+                        self.cfg,
+                        over,
+                        self._dedupers,
                     )
                 )
         packets.sort(key=lambda p: p.abs_sample)
@@ -620,8 +697,9 @@ class WidebandReceiver:
         self._buf = np.concatenate([self._buf, np.asarray(iq, np.complex64)])
         out = []
         while self._buf.size >= self.n_in:
-            rec = self.device_step(self._buf[: self.n_in], self._pos)
-            out.append((rec, self._pos // self.cfg.decimation))
+            step_iq = self._buf[: self.n_in]  # view; kept alive for recovery
+            rec = self.device_step(step_iq, self._pos)
+            out.append((rec, self._pos // self.cfg.decimation, step_iq))
             self._buf = self._buf[self.step_raw :]
             self._pos += self.step_raw
         return out
@@ -637,11 +715,32 @@ class WidebandReceiver:
             np.zeros(max(self.n_in - self._buf.size, 0), dtype=np.complex64)
         )
 
+    # -- checkpoint / resume --------------------------------------------------
+    # The reference has none (SURVEY.md §5.4): its DSP state lives in C++
+    # block members and dies with the process.  Here the receiver's whole
+    # stream state is the sample buffer, the absolute stream position
+    # (which also determines mixer phase — mixer_phase() derives it from
+    # the position at every step), and the dedup memory: a picklable dict,
+    # so kill/resume is exact (tests/test_checkpoint.py).
+
+    def get_state(self) -> dict:
+        return {
+            "buf": self._buf.copy(),
+            "pos": self._pos,
+            "dedup_recent": [list(d._recent) for d in self._dedupers],
+        }
+
+    def set_state(self, state: dict) -> None:
+        self._buf = np.asarray(state["buf"], dtype=np.complex64).copy()
+        self._pos = int(state["pos"])
+        for d, recent in zip(self._dedupers, state["dedup_recent"]):
+            d._recent = list(recent)
+
     def decode(self, iq: np.ndarray):
         """Feed raw samples, return host-decoded packets from full steps."""
         packets = []
-        for rec, chan_start in self.process(iq):
+        for rec, chan_start, step_iq in self.process(iq):
             rec_np = jax.tree.map(np.asarray, rec)
-            packets.extend(self._host_decode(rec_np, chan_start))
+            packets.extend(self._host_decode(rec_np, chan_start, step_iq))
         packets.sort(key=lambda p: p.abs_sample)
         return packets

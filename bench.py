@@ -143,12 +143,23 @@ def _split(stats: dict | None) -> dict | None:
         return None
     n = stats["steps"]
     tot = stats["fetch_s"] + stats["host_s"]
-    return {
+    out = {
         "fetch_ms_per_step": round(stats["fetch_s"] / n * 1e3, 1),
         "host_ms_per_step": round(stats["host_s"] / n * 1e3, 1),
         "fetch_frac_of_collect": round(stats["fetch_s"] / tot, 3) if tot else None,
         "steps": n,
     }
+    # Fan workers report the full phase split (multiproc.py): time
+    # blocked on h2d, exec-lock wait, dispatch+exec, d2h, h2d enqueue.
+    for key, label in (
+        ("transfer_wait_s", "h2d_wait_ms_per_step"),
+        ("lock_wait_s", "lock_wait_ms_per_step"),
+        ("exec_s", "exec_ms_per_step"),
+        ("stage_s", "stage_ms_per_step"),
+    ):
+        if stats.get(key):
+            out[label] = round(stats[key] / n * 1e3, 1)
+    return out
 
 
 def measure(backend: str) -> dict:
@@ -203,13 +214,17 @@ def measure(backend: str) -> dict:
                 pending.append(rx.submit_wire(wire, WIRE_FMT))
         return time.time() - t0, pkts, host_s
 
-    best = None  # (dt, pkts, host_s, depth)
+    best = None  # (dt, pkts, host_s, depth, split)
     for _w in range(windows):
         for depth in (1, 2):
+            # Per-window split (ADVICE r2): reset before each window so
+            # the reported per-step averages are the BEST window's
+            # steady state, not warmup + all windows blended.
+            rx.reset_collect_stats()
             dt, pkts, host_s = run_window(depth)
             if best is None or dt < best[0]:
-                best = (dt, pkts, host_s, depth)
-    best_dt, total_pkts, host_s, best_depth = best
+                best = (dt, pkts, host_s, depth, dict(rx.collect_stats))
+    best_dt, total_pkts, host_s, best_depth, best_split = best
     msps = n_in * iters / best_dt / 1e6
 
     # Multi-connection ingest fan (TPU only): the tunnel's h2d channel
@@ -217,7 +232,8 @@ def measure(backend: str) -> dict:
     # connections; with executions lock-serialized the fan roughly
     # doubles sustained ingest (pipeline/multiproc.py).  One chip, one
     # host — the fan is ingest orchestration, not extra compute.
-    fan_msps, mode, fan_stats = None, "single-process", None
+    fan_msps, mode, fan_stats, fan_h2d = None, "single-process", None, None
+    fan_workers = int(os.environ.get("AIS_TPU_FAN_WORKERS", "4"))
     if backend == "tpu":
         try:
             from ais_tpu.pipeline.multiproc import MultiProcessWideband
@@ -225,27 +241,29 @@ def measure(backend: str) -> dict:
             fan = MultiProcessWideband(
                 cfg,
                 n_in=n_in,
-                n_workers=3,
+                n_workers=fan_workers,
                 fmt=WIRE_FMT,
                 cache_dir=CACHE_DIR,
             )
             fan.start(timeout=900)
+            fan_h2d = list(fan.h2d_mbps)
             try:
-                fan_best = None
+                fan_best, fan_iters = None, 2 * iters
                 for _w in range(windows):
+                    fan.reset_collect_stats()
                     t0 = time.time()
-                    for i in range(iters):
+                    for i in range(fan_iters):
                         fan.submit(i, wire)
-                    fan.drain(timeout=300)
+                    fan.drain(timeout=600)
                     dt = time.time() - t0
-                    if fan_best is None or dt < fan_best:
-                        fan_best = dt
+                    if fan_best is None or dt < fan_best[0]:
+                        fan_best = (dt, dict(fan.collect_stats))
             finally:
-                fan_stats = dict(fan.collect_stats)
                 fan.close()
-            fan_msps = n_in * iters / fan_best / 1e6
+            fan_stats = fan_best[1]
+            fan_msps = n_in * fan_iters / fan_best[0] / 1e6
             if fan_msps > msps:
-                msps, mode = fan_msps, "fan-3conn"
+                msps, mode = fan_msps, f"fan-{fan_workers}conn"
         except Exception:  # noqa: BLE001 — fan is an optimization only
             pass
 
@@ -267,13 +285,15 @@ def measure(backend: str) -> dict:
             "single_process_msps": round(n_in * iters / best_dt / 1e6, 2),
             "fan3_msps": round(fan_msps, 2) if fan_msps else None,
             "collect_frac": round(host_s / best_dt, 3),
-            # Collect-path split (cumulative over all windows): "fetch" is
-            # the blocking device-result wait (exec + d2h — on the tunnel
-            # these are one FIFO), "host" the HDLC/NMEA back half.  The
-            # STATUS question "what binds the collect path" is answered
-            # here: host_ms_per_step is the true host floor.
-            "collect_split": _split(rx.collect_stats),
+            # Collect-path split of the BEST single-process window:
+            # "fetch" is the blocking device-result wait (exec + d2h —
+            # in serial shape these are one FIFO), "host" the HDLC/NMEA
+            # back half.  The fan split carries the full per-phase
+            # breakdown (h2d wait / lock wait / exec / d2h / host) from
+            # the pipelined workers.
+            "collect_split": _split(best_split),
             "fan_collect_split": _split(fan_stats) if fan_stats else None,
+            "fan_h2d_mbps_per_conn": fan_h2d,
             "pipeline_depth": best_depth,
             "compile_s": round(compile_s, 1),
             "n_in_per_call": n_in,

@@ -77,3 +77,13 @@ def test_fan_matches_single_process(n_workers):
         got = fan.drain()
     got_set = sorted((p.payload, p.abs_sample, p.designator) for p in got)
     assert got_set == want_set
+
+    # Phase telemetry: every step reported a full split, and the h2d
+    # bandwidth probe ran on each worker connection.
+    st = fan.collect_stats
+    assert st["steps"] == n_steps
+    assert st["wire_bytes"] == n_steps * fan.n_in * 2  # ci8: 2 B/sample
+    assert st["exec_s"] > 0 and st["host_s"] > 0
+    assert len(fan.h2d_mbps) == n_workers
+    fan.reset_collect_stats()
+    assert fan.collect_stats["steps"] == 0
