@@ -59,6 +59,14 @@ class DemodConfig:
     agc_window: int = 512          # feedforward AGC window (ais_demod.py:35)
     agc_reference: float = 2.0
     corr_threshold: float = 0.9    # fraction of autocorr peak (ais_demod.py:42)
+    # CFAR companion to corr_threshold: a correlation peak is also
+    # accepted when it exceeds `corr_cfar_k * mean(|corr|^2)` over the
+    # block (effective threshold = min of the two).  The reference's
+    # fixed threshold assumes full-scale bursts; near the noise floor
+    # the AGC normalizes to the noise envelope and fixed-threshold
+    # detection dies several dB above the matched filter's real floor
+    # (sync/corr.py:detect_bursts).  None = reference-faithful.
+    corr_cfar_k: float | None = 12.0
     corr_mark_delay: int = 1       # samples past peak to seed timing
     # Non-max-suppression radius (samples) around a correlation peak.  The
     # periodic [1,1,0,0]*7 preamble yields sidelobe peaks every 4 symbols;

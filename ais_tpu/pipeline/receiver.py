@@ -139,9 +139,20 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
             a, fs, cfg.bit_rate, cfg.fftlen, gate_ratio=cfg.afc_gate_ratio
         )
         corr = matched_filter(y_det, wf)
+        # The CFAR constant tracks the runtime threshold knob upward
+        # (set_threshold(huge) must silence detection, CFAR included)
+        # but never drops below its calibrated false-alarm base — a low
+        # absolute threshold (e.g. the MLSE preset) already lowers the
+        # fixed path.
+        cfar_k = (
+            cfg.corr_cfar_k * max(1.0, cfg.corr_threshold / 0.9)
+            if cfg.corr_cfar_k is not None
+            else None
+        )
         pos, centers, phases, mags, valid, n_det = jax.vmap(
             lambda c: detect_bursts(
-                c, thresh, cfg.nms_radius, cfg.max_bursts_per_block, core_len
+                c, thresh, cfg.nms_radius, cfg.max_bursts_per_block, core_len,
+                cfar_k=cfar_k,
             )
         )(corr)  # each (B, K); n_det (B,)
 

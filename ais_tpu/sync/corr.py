@@ -59,12 +59,27 @@ def detect_bursts(
     nms_radius: int,
     max_bursts: int,
     core_len: int,
+    cfar_k: float | None = None,
 ):
     """Find up to `max_bursts` preamble peaks in corr (1-D), earliest first.
 
     Only peaks with index in [1, core_len) are accepted, so halo'd block
     framing decodes boundary-straddling packets exactly once (the shard
     owning the preamble start owns the packet — SURVEY.md section 5.7).
+
+    `cfar_k` adds a noise-floor-referenced acceptance path: a peak also
+    passes when its power exceeds `cfar_k * mean(|corr|^2)` over the
+    block (the effective threshold is min(absolute, CFAR)).  The
+    reference's fixed `t*(sum_p_sq)^2` threshold (lib/corr_est_cc_impl.cc
+    :71-74) assumes the AGC delivers full-scale bursts; near the noise
+    floor the AGC normalizes to the NOISE envelope and the correlation
+    peak falls far below the fixed threshold, so gr-ais-equivalent
+    detection dies ~6 dB above where the matched filter could still see
+    the preamble.  |corr|^2 under noise is exponential with mean
+    sigma^2*E, so a peak > k*mean has per-sample false-alarm e^{-k}
+    (~0.1 false peaks per 16k block at k=12) — and false peaks cost only
+    a CRC-rejected deframe attempt.  None disables (reference-faithful).
+    n_detected keeps overflow visible either way.
 
     Returns (positions i32, centers f32, phases f32, mags f32, valid bool,
     n_detected i32 scalar), the first five each (max_bursts,).  `centers`
@@ -76,9 +91,12 @@ def detect_bursts(
     """
     n = corr.shape[-1]
     mag2 = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
+    thresh = jnp.float32(threshold)
+    if cfar_k is not None:
+        thresh = jnp.minimum(thresh, cfar_k * jnp.mean(mag2))
     left = jnp.concatenate([mag2[:1], mag2[:-1]])
     right = jnp.concatenate([mag2[1:], mag2[-1:]])
-    is_peak = (mag2 > threshold) & (mag2 >= left) & (mag2 > right)
+    is_peak = (mag2 > thresh) & (mag2 >= left) & (mag2 > right)
     # Non-max suppression over +-nms_radius: one detection per burst even
     # though the periodic training pattern produces sidelobe peaks every
     # 4 symbols (the reference instead re-seeds its timing loop on every

