@@ -85,24 +85,26 @@ def _style(ax, title):
         s.set_color(GRID)
 
 
-def render(iq, baseband, cfg, threshold: float, out_path: str, rate: float):
-    """Draw the six panels; `iq` is the raw input, `baseband` the
-    channel-rate signal the demod sees (equal when -S)."""
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+def compute_panels(iq, baseband, cfg, threshold: float, rate: float) -> dict:
+    """Compute the data behind every panel (separated from drawing so
+    tests can assert the diagnostics are CORRECT, not just rendered):
+    psd_f_khz/psd_db, freq_est_hz (per AFC chunk), corr2 (correlator
+    power aligned to the baseband stream), thr, peak (strongest burst
+    index), agc/der (stitched chain taps)."""
     import numpy as np
 
     import jax.numpy as jnp
 
-    from ais_tpu.ops.demod import quadrature_demod
     from ais_tpu.pipeline.receiver import make_debug_taps, required_halo
     from ais_tpu.sync.corr import autocorr_threshold
     from ais_tpu.tx.gmsk import preamble_waveform
 
     block_len = 16384
-    core_len = block_len - required_halo(cfg)
+    # Stitch step: the largest fftlen multiple that still leaves the
+    # demod halo — keeps the AFC chunk lattice (one estimate per fftlen
+    # samples) aligned with absolute sample indices across blocks.
+    core_len = ((block_len - required_halo(cfg)) // cfg.fftlen) * cfg.fftlen
+    core_chunks = core_len // cfg.fftlen
     taps_fn = make_debug_taps(cfg, block_len)
 
     # Run the taps block-wise over the capture; stitch the core spans so
@@ -123,7 +125,7 @@ def render(iq, baseband, cfg, threshold: float, out_path: str, rate: float):
         ]
         c = np.asarray(t["corr_mag2"])
         corr2[b * core_len : b * core_len + min(core_len, c.size)] = c[:core_len]
-        freqs.append(np.asarray(t["freq_est_hz"]))
+        freqs.append(np.asarray(t["freq_est_hz"])[:core_chunks])
     # Trim the zero-padded tail block span back to the real capture.
     n_bb = min(baseband.size, agc.size)
     agc, der, corr2 = agc[:n_bb], der[:n_bb], corr2[:n_bb]
@@ -134,17 +136,48 @@ def render(iq, baseband, cfg, threshold: float, out_path: str, rate: float):
     thr = autocorr_threshold(pre, threshold)
     peak = int(np.argmax(corr2))
 
-    fig, axes = plt.subplots(2, 3, figsize=(15, 8), dpi=110)
-    fig.patch.set_facecolor("white")
-
-    # 1 — PSD of the raw input.
-    ax = axes[0, 0]
     nfft = 4096
     nseg = max(1, iq.size // nfft)
     segs = iq[: nseg * nfft].reshape(nseg, nfft) * np.hanning(nfft)
     psd = (np.abs(np.fft.fftshift(np.fft.fft(segs, axis=-1), axes=-1)) ** 2).mean(0)
     f = np.fft.fftshift(np.fft.fftfreq(nfft, 1 / rate)) / 1e3
-    ax.plot(f, 10 * np.log10(psd + 1e-12), color=SERIES, linewidth=1.2)
+
+    return {
+        "psd_f_khz": f,
+        "psd_db": 10 * np.log10(psd + 1e-12),
+        "freq_est_hz": freqs,
+        "corr2": corr2,
+        "thr": thr,
+        "peak": peak,
+        "agc": agc,
+        "der": der,
+        "sps": sps,
+    }
+
+
+def render(iq, baseband, cfg, threshold: float, out_path: str, rate: float):
+    """Draw the six panels; `iq` is the raw input, `baseband` the
+    channel-rate signal the demod sees (equal when -S)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from ais_tpu.ops.demod import quadrature_demod
+
+    p = compute_panels(iq, baseband, cfg, threshold, rate)
+    der, corr2 = p["der"], p["corr2"]
+    freqs, thr, peak, sps = p["freq_est_hz"], p["thr"], p["peak"], p["sps"]
+
+    fig, axes = plt.subplots(2, 3, figsize=(15, 8), dpi=110)
+    fig.patch.set_facecolor("white")
+
+    # 1 — PSD of the raw input.
+    ax = axes[0, 0]
+    ax.plot(p["psd_f_khz"], p["psd_db"], color=SERIES, linewidth=1.2)
     _style(ax, f"input PSD ({rate/1e3:.0f} ksps)")
     ax.set_xlabel("frequency (kHz)", color=INK, fontsize=8)
     ax.set_ylabel("dB", color=INK, fontsize=8)
