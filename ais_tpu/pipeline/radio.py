@@ -186,6 +186,56 @@ class AisRadio:
     def get_rate(self) -> float:
         return self.sample_rate
 
+    def set_rate(self, rate: float) -> float:
+        """Working version of the reference's broken `set_rate`
+        (python/radio.py:131-139 references an undefined `rx_path1` and
+        calls a method `ais_rx` never defines).  Rebuilds the receive
+        topology for the new input rate; stream state does NOT carry
+        across a rate change (the sample grid itself changed), matching
+        a hardware retune's reality — decoding resynchronizes at the
+        next burst preamble, as the reference's self-synchronizing
+        design does after any disruption (SURVEY.md §5.4)."""
+        if rate == self.sample_rate:
+            return self.sample_rate
+        self.__init__(
+            sample_rate=float(rate),
+            single_channel=bool(self.rx_paths) and self.wideband is None
+            and len(self.rx_paths) == 1,
+            block_len=self._block_len,
+            demod=self._demod_override,
+            ppm=self.ppm,
+            fused_blocks=self._fused_blocks,
+        )
+        src = getattr(self, "_source", None)
+        if src is not None and hasattr(src, "set_sample_rate"):
+            src.set_sample_rate(rate)
+        return self.sample_rate
+
+    # -- checkpoint / resume ---------------------------------------------
+    # Whole-radio snapshot: delegates to the active topology's receivers
+    # (WidebandReceiver buf/pos/dedupers, or per-channel ChannelReceiver
+    # tails + resampler + baseband carry).  The dict pickles, so a killed
+    # process resumes exactly (tests/test_checkpoint.py).
+
+    def get_state(self) -> dict:
+        if self.wideband is not None:
+            return {"topology": "wideband", "state": self.wideband.get_state()}
+        return {
+            "topology": "channels",
+            "state": [rx.get_state() for rx in self.rx_paths],
+        }
+
+    def set_state(self, state: dict) -> None:
+        if state["topology"] == "wideband":
+            if self.wideband is None:
+                raise ValueError("checkpoint is from a fused-wideband radio")
+            self.wideband.set_state(state["state"])
+            return
+        if len(state["state"]) != len(self.rx_paths):
+            raise ValueError("checkpoint channel count mismatch")
+        for rx, s in zip(self.rx_paths, state["state"]):
+            rx.set_state(s)
+
     def run(
         self,
         source: SampleSource,
