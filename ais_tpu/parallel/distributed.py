@@ -65,6 +65,28 @@ class DistributedBlockDecoder:
         self.mesh = make_time_mesh(n_devices)
         self.n_devices = self.mesh.devices.size
         self._fn = make_sharded_demod(demod, block_len, self.core_len, self.mesh)
+        # Multi-process: the per-call record gather is the ONLY
+        # cross-host traffic, so compact it on device before it rides
+        # DCN — the same 8x bit-plane packing the tunnel wire path uses
+        # (pipeline/wideband.py:pack_wire_records), ~7x smaller than raw
+        # BurstRecords.  Sustained rolling-call efficiency lives and
+        # dies on this per-call cost (tools/multihost_streaming.py).
+        from ais_tpu.pipeline.receiver import burst_table_geometry
+
+        _, self._n_sym = burst_table_geometry(demod)
+
+        def _pack(rec):
+            from ais_tpu.pipeline.wideband import pack_wire_records
+
+            w = pack_wire_records(rec, demod.fftlen)
+            return {
+                "meta_i": w.meta_i,
+                "meta_f": w.meta_f,
+                "packed": w.packed,
+                "freq_est": rec.freq_est,
+            }
+
+        self._pack = jax.jit(_pack)
 
     def decode_blocks(self, blocks: np.ndarray):
         """(n_blocks, block_len) -> BurstRecords; n_blocks must divide
@@ -94,14 +116,32 @@ class DistributedBlockDecoder:
             xs = jax.make_array_from_callback(
                 planes.shape, sharding, lambda idx: planes[idx]
             )
-            rec = self._fn(xs)
+            w = self._pack(self._fn(xs))  # compact on device (8x bits)
             from jax.experimental import multihost_utils
 
-            rec = jax.tree.map(
-                lambda a: np.asarray(
-                    multihost_utils.process_allgather(a, tiled=True)
-                ),
-                rec,
+            w = {
+                k: np.asarray(multihost_utils.process_allgather(a, tiled=True))
+                for k, a in w.items()
+            }
+            # Reconstruct host BurstRecords from the compact gather.
+            # center/phase are not shipped (nothing downstream of the
+            # device demod reads them) and come back zeroed.
+            from ais_tpu.pipeline.receiver import BurstRecords
+
+            bits = np.unpackbits(w["packed"], axis=-1)[..., : self._n_sym]
+            zeros = np.zeros(w["meta_f"][..., 0].shape, np.float32)
+            rec = BurstRecords(
+                position=w["meta_i"][..., 0],
+                center=zeros,
+                phase=zeros,
+                mag=w["meta_f"][..., 0],
+                valid=w["meta_i"][..., 2].astype(bool),
+                bits=bits[..., 0, :],
+                bit_valid=bits[..., 1, :].astype(bool),
+                freq_est=w["freq_est"],
+                n_detected=w["meta_i"][:, 0, 3],
+                win_start=w["meta_i"][..., 1],
+                rssi=w["meta_f"][..., 2],
             )
             return rec, n
         xs = jax.device_put(planes, sharding)
@@ -128,3 +168,88 @@ class DistributedBlockDecoder:
                 )
             )
         return packets
+
+
+class DistributedStreamDecoder:
+    """SUSTAINED streaming decode over the device mesh (BASELINE
+    config 5's "continuous stream", not a one-shot batch).
+
+    Wraps `DistributedBlockDecoder` in a rolling-call harness with
+    cross-call state: an input carry (the framing halo re-presented to
+    the next call), an absolute stream position, and a persistent
+    deduper — so a packet straddling a *call* boundary decodes exactly
+    once, the same core-ownership rule that already governs block
+    boundaries inside a call.  Every process of a jax.distributed group
+    feeds the identical stream; the framing is a strided view (no copy)
+    and each process materializes only its addressable block shard
+    (`decode_blocks`), so ingest bandwidth per host stays shard-sized.
+    """
+
+    def __init__(
+        self,
+        demod: DemodConfig = DemodConfig(),
+        block_len: int = 16384,
+        n_devices: int | None = None,
+        blocks_per_call: int | None = None,
+        designator: str = "A",
+    ):
+        from ais_tpu.pipeline.host import PacketDeduper
+
+        self.block = DistributedBlockDecoder(demod, block_len, n_devices)
+        self.block_len = block_len
+        self.core_len = self.block.core_len
+        self.blocks_per_call = blocks_per_call or 2 * self.block.n_devices
+        if self.blocks_per_call % self.block.n_devices:
+            raise ValueError(
+                f"blocks_per_call {self.blocks_per_call} must divide over "
+                f"{self.block.n_devices} devices"
+            )
+        self.designator = designator
+        # Fresh samples consumed per device call; the remaining
+        # block_len - core_len samples are the carry.
+        self.step = self.blocks_per_call * self.core_len
+        self._need = self.step + (block_len - self.core_len)
+        self._buf = np.zeros(0, np.complex64)
+        self._pos = 0  # absolute sample index of _buf[0]
+        self._deduper = PacketDeduper()
+
+    def process(self, iq: np.ndarray) -> list:
+        """Feed a chunk that continues the stream; returns packets from
+        every full device call it completes."""
+        from ais_tpu.pipeline.host import decode_block_records
+
+        self._buf = np.concatenate([self._buf, np.asarray(iq, np.complex64)])
+        packets = []
+        while self._buf.size >= self._need:
+            span = self._buf[: self._need]
+            stride = span.strides[0]
+            blocks = np.lib.stride_tricks.as_strided(
+                span,
+                shape=(self.blocks_per_call, self.block_len),
+                strides=(self.core_len * stride, stride),
+            )
+            records, n = self.block.decode_blocks(blocks)
+            records = jax.tree.map(np.asarray, records)
+            for b in range(n):
+                rec_b = jax.tree.map(lambda a: a[b], records)
+                packets.extend(
+                    decode_block_records(
+                        rec_b,
+                        self._pos + b * self.core_len,
+                        designator=self.designator,
+                        deduper=self._deduper,
+                        fftlen=self.block.cfg.fftlen,
+                        samples_per_symbol=self.block.cfg.samples_per_symbol,
+                    )
+                )
+            self._buf = self._buf[self.step :]
+            self._pos += self.step
+        return packets
+
+    def flush(self) -> list:
+        """End-of-stream: zero-pad the residual to one full call."""
+        if self._buf.size == 0:
+            return []
+        return self.process(
+            np.zeros(max(self._need - self._buf.size, 0), np.complex64)
+        )
