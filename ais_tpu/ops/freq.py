@@ -40,6 +40,18 @@ def freqest(
     offset = int(fftlen * (bit_rate / sample_rate))
     binsize = sample_rate / fftlen
     spec = jnp.abs(jnp.fft.fftshift(jnp.fft.fft(squared_chunks, axis=-1), axes=-1))
+    # DC notch: squaring anything non-circular (receiver DC offset — the
+    # classic zero-IF artifact — or real-only content) piles energy into
+    # the DC bin of the squared spectrum; the pair search then locks onto
+    # it and reports a *confident* bogus estimate of -bit_rate/4, which
+    # derotates every burst in the chunk into garbage.  A legitimate GMSK
+    # tone pair only touches DC when |CFO| = bit_rate/2 (4.8 kHz — far
+    # outside AIS channel tolerance), and even then only one bin of the
+    # pair is lost.  The reference's freqest has this failure ungated
+    # (lib/freqest_impl.cc:72-85).
+    dc = fftlen // 2
+    mask = jnp.ones(fftlen, spec.dtype).at[dc - 1 : dc + 2].set(0.0)
+    spec = spec * mask
     # Pair energy for every left-bin position j in [0, fftlen - offset).
     pair = spec[..., : fftlen - offset] + spec[..., offset:]
     maxpair = jnp.max(pair, axis=-1)
@@ -51,24 +63,43 @@ def freqest(
 
 
 def gate_and_hold(est: jax.Array, confidence: jax.Array, min_ratio: float) -> jax.Array:
-    """Forward-fill low-confidence estimates along the chunk axis.
+    """Nearest-confident fill of low-confidence estimates per chunk.
 
     A mostly-noise chunk produces a random tone-pair position; applying it
     would corrupt the tail of a packet that straddles into the chunk (the
     reference has exactly this failure mode — its freqest output is
     ungated, lib/freqest_impl.cc:72-85).  Chunks whose tone-to-floor ratio
-    is below `min_ratio` reuse the previous confident estimate instead.
+    is below `min_ratio` take the estimate of the NEAREST confident chunk
+    (ties prefer the earlier one).  Nearest — not a forward hold — because
+    a packet that *starts* in the tail of a chunk leaves too little energy
+    there for confidence, yet the burst demod corrects that whole packet
+    with this chunk's value (pipeline/receiver.py): the right estimate is
+    in the next chunk, where the packet body lies, not in a stale hold
+    from seconds of preceding noise.
     """
     confident = confidence >= min_ratio
-    def step(carry, xs):
-        e, ok = xs
-        new = jnp.where(ok, e, carry)
-        return new, new
-    # Derive the initial carry from the data (not jnp.zeros) so its
-    # device-varying type matches inside shard_map.
-    held = jax.lax.scan(step, est[..., 0] * 0.0, (
-        jnp.moveaxis(est, -1, 0), jnp.moveaxis(confident, -1, 0)
-    ))[1]
+    big = est.shape[-1] + 1
+
+    def fill(e_seq, ok_seq):
+        # Scan along axis 0; carry = (last confident estimate, distance).
+        def step(carry, xs):
+            ce, cd = carry
+            e_k, ok_k = xs
+            ne = jnp.where(ok_k, e_k, ce)
+            nd = jnp.where(ok_k, 0, cd + 1)
+            return (ne, nd), (ne, nd)
+        # Derive carries from the data (not jnp.zeros) so device-varying
+        # types match inside shard_map.
+        init = (e_seq[0] * 0.0, jnp.int32(0) * ok_seq[0].astype(jnp.int32) + big)
+        return jax.lax.scan(step, init, (e_seq, ok_seq))[1]
+
+    e_seq = jnp.moveaxis(est, -1, 0)
+    ok_seq = jnp.moveaxis(confident, -1, 0)
+    fwd_e, fwd_d = fill(e_seq, ok_seq)
+    bwd_e, bwd_d = jax.tree.map(
+        lambda t: t[::-1], fill(e_seq[::-1], ok_seq[::-1])
+    )
+    held = jnp.where(bwd_d < fwd_d, bwd_e, fwd_e)
     return jnp.moveaxis(held, 0, -1)
 
 

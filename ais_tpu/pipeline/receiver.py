@@ -208,7 +208,15 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
         ).reshape(B, K)
 
         # Per-burst chunk estimate via a one-hot contraction (gather-free).
-        chunk_idx = jnp.clip(pos // cfg.fftlen, 0, est.shape[-1] - 1)  # (B, K)
+        # Reference the chunk holding the burst BODY (pos + fftlen/2 is
+        # inside even a minimum-length AIS frame, 11 payload bytes ~ 720
+        # samples at sps 5): a burst starting in the tail of a chunk
+        # leaves that chunk without enough energy for a confident
+        # estimate of its own, but the body chunk measures the actual
+        # packet carrier.
+        chunk_idx = jnp.clip(
+            (pos + cfg.fftlen // 2) // cfg.fftlen, 0, est.shape[-1] - 1
+        )  # (B, K)
         onehot = (
             chunk_idx[..., None] == jnp.arange(est.shape[-1], dtype=jnp.int32)
         ).astype(jnp.float32)

@@ -204,6 +204,41 @@ class TestOracleChannelEffects:
         iq = embed(pkt) + np.complex64(0.05 * (1 + 0.5j))
         assert BasebandReceiver().sentences(iq) == [SENTENCE]
 
+    @pytest.mark.parametrize("cfo", [-500.0, 300.0])
+    def test_cfo_packet_starting_at_chunk_tail(self, pkt, cfo):
+        # A packet whose first samples land in the tail of an AFC chunk
+        # leaves that chunk without a confident estimate of its own; the
+        # burst's one-constant correction must come from the chunk
+        # holding the packet BODY (pipeline/receiver.py) with the gate
+        # filling from the NEAREST confident chunk (ops/freq.py) — not a
+        # stale hold from the preceding noise.  Positions 2000/3040 start
+        # 8-48 samples before a 1024-sample chunk boundary and decoded
+        # 300 Hz off (i.e. not at all) before the round-3 fix.
+        for pos in (2000, 3040, 9100):
+            iq = embed(apply_cfo(pkt, cfo, FS), pos=pos)
+            assert BasebandReceiver().sentences(iq) == [SENTENCE], pos
+
+    def test_dc_offset_strong_signal(self, pkt):
+        # Squaring a DC offset piles energy into the squared-spectrum DC
+        # bin, which the pair search maps to a CONFIDENT bogus
+        # -bit_rate/4 = -2.4 kHz estimate; without the DC notch in
+        # freqest (ops/freq.py) this derotated every burst in the block
+        # into garbage.  Unit-amplitude signal, 0.05 DC — failed pre-fix.
+        iq = np.zeros(48000, np.complex64)
+        iq[2000 : 2000 + pkt.size] = pkt
+        iq += np.complex64(0.05)
+        assert BasebandReceiver().sentences(iq) == [SENTENCE]
+
+    def test_real_only_noise_floor(self, pkt):
+        # Real-only (non-circular) noise also breaks the squared
+        # spectrum's zero mean: E[n^2] != 0 shows up as the same DC
+        # spike.  A -60 dB real noise floor killed the decode pre-notch.
+        rng = np.random.default_rng(0)
+        iq = np.zeros(48000, np.complex64)
+        iq[2000 : 2000 + pkt.size] = pkt
+        iq += (rng.normal(size=iq.size) * 1e-3).astype(np.complex64)
+        assert BasebandReceiver().sentences(iq) == [SENTENCE]
+
     def test_type18_class_b_report(self):
         # Type 18 (Class B position report, 168 bits): armors to 'B'.
         rng = np.random.default_rng(18)
