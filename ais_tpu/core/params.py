@@ -103,6 +103,14 @@ class DemodConfig:
     #     lower corr_threshold (~0.4) to let weak bursts reach the
     #     decoder.
     demod_mode: str = "discriminator"
+    # Matched-filter formulation for burst detection:
+    #   "auto"   — fused Pallas MXU correlator on non-CPU backends
+    #     (ops/pallas_corr.py, |corr|^2 fused into the same pass), the
+    #     FFT overlap-save pair on CPU (where n log n wins).
+    #   "pallas" / "mxu" / "fft" — force a formulation anywhere ("mxu"
+    #     is the plain-XLA dot form of the same direct correlator).
+    # Env override: AIS_TPU_CORR=pallas|mxu|fft|auto.
+    corr_path: str = "auto"
     # Burst extraction: window of raw samples handed to per-burst timing
     # recovery.  Must cover preamble + flags + max stuffed frame + slack.
     # Max HDLC frame here is 64 bytes payload (python/radio.py:64), i.e.

@@ -19,6 +19,7 @@ SURVEY.md section 5.7).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -109,6 +110,14 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
     sps_int = int(round(cfg.samples_per_symbol))
     wf = preamble_waveform(sps_int, cfg.gmsk_bt)
     thresh = autocorr_threshold(wf, cfg.corr_threshold)
+    # Matched-filter formulation, resolved at build time (like the
+    # wideband channelizer_mode): env > config; "auto" = the fused
+    # Pallas MXU correlator off-CPU, FFT overlap-save on CPU.
+    corr_mode = os.environ.get("AIS_TPU_CORR", "").lower() or cfg.corr_path
+    if corr_mode == "auto":
+        corr_mode = "pallas" if jax.default_backend() != "cpu" else "fft"
+    if corr_mode not in ("pallas", "mxu", "fft"):
+        raise ValueError(f"unknown corr_path {corr_mode!r}")
     burst_grid = BURST_GRID
     if block_len % burst_grid != 0:
         raise ValueError(f"block_len {block_len} not a multiple of {burst_grid}")
@@ -138,7 +147,16 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
         y_det, est = square_and_fft_sync(
             a, fs, cfg.bit_rate, cfg.fftlen, gate_ratio=cfg.afc_gate_ratio
         )
-        corr = matched_filter(y_det, wf)
+        if corr_mode == "pallas":
+            from ais_tpu.ops.pallas_corr import pallas_matched_filter
+
+            corr, corr_mag2 = pallas_matched_filter(y_det, wf, with_mag2=True)
+        elif corr_mode == "mxu":
+            from ais_tpu.ops.pallas_corr import matched_filter_mxu
+
+            corr, corr_mag2 = matched_filter_mxu(y_det, wf), None
+        else:
+            corr, corr_mag2 = matched_filter(y_det, wf), None
         # The CFAR constant tracks the runtime threshold knob upward
         # (set_threshold(huge) must silence detection, CFAR included)
         # but never drops below its calibrated false-alarm base — a low
@@ -149,12 +167,14 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
             if cfg.corr_cfar_k is not None
             else None
         )
+        if corr_mag2 is None:
+            corr_mag2 = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
         pos, centers, phases, mags, valid, n_det = jax.vmap(
-            lambda c: detect_bursts(
+            lambda c, m: detect_bursts(
                 c, thresh, cfg.nms_radius, cfg.max_bursts_per_block, core_len,
-                cfar_k=cfar_k,
+                cfar_k=cfar_k, mag2=m,
             )
-        )(corr)  # each (B, K); n_det (B,)
+        )(corr, corr_mag2)  # each (B, K); n_det (B,)
 
         # Seed timing recovery at peak + mark_delay, with one guard sample
         # for the mu<0 adjustment (reference lib/corr_est_cc_impl.cc:248-253

@@ -60,6 +60,7 @@ def detect_bursts(
     max_bursts: int,
     core_len: int,
     cfar_k: float | None = None,
+    mag2: jax.Array | None = None,
 ):
     """Find up to `max_bursts` preamble peaks in corr (1-D), earliest first.
 
@@ -90,7 +91,8 @@ def detect_bursts(
     *visible* — the host logs it instead of silently truncating.
     """
     n = corr.shape[-1]
-    mag2 = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
+    if mag2 is None:
+        mag2 = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
     thresh = jnp.float32(threshold)
     if cfar_k is not None:
         thresh = jnp.minimum(thresh, cfar_k * jnp.mean(mag2))
