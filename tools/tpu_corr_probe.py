@@ -78,6 +78,7 @@ def main() -> int:
     out = {"probe": "tpu_corr", "backend": backend, "blocks": B}
     mags = {}
     for name, fn in fns.items():
+        print(f"[probe] compiling {name} matched filter...", file=sys.stderr, flush=True)
         t0 = time.time()
         m = np.asarray(fn(xr, xi))
         out[f"{name}_compile_plus_first_s"] = round(time.time() - t0, 1)
@@ -114,6 +115,7 @@ def main() -> int:
         import dataclasses
 
         dcfg = dataclasses.replace(cfg, corr_path=path)
+        print(f"[probe] compiling demod corr_path={path}...", file=sys.stderr, flush=True)
         fn = jax.jit(make_burst_demod(dcfg, block_len, core))
         rec = jax.tree.map(np.asarray, fn(planes))  # compile + check
         t0 = time.time()
