@@ -68,6 +68,7 @@ def _worker_main(cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q):
     """
     try:
         import os
+        import threading as _threading
         import time as _time
 
         # N clients sharing one chip must not each claim the default
@@ -146,19 +147,31 @@ def _worker_main(cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q):
             fetched = rx.fetch_wire(handle)  # d2h only (exec already done)
             t4 = _time.perf_counter()
             # Pipeline: start the NEXT step's transfer before the host
-            # back half (see module docstring for why exactly here).
+            # back half (see module docstring for why exactly here), on
+            # a side thread so its CPU half (the client's synchronous
+            # wire serialization, ~100 ms) overlaps the host decode —
+            # both release the GIL in native code.
+            stage_thread = None
             if not closing and staged_next is None:
                 try:
                     item = in_q.get_nowait()
                     if item is None:
                         closing = True
                     else:
-                        staged_next = stage(item)
+                        box = []
+                        stage_thread = _threading.Thread(
+                            target=lambda: box.append(stage(item))
+                        )
+                        stage_thread.start()
                 except queue_mod.Empty:
                     pass
             t5 = _time.perf_counter()
             pkts = rx.decode_fetched(fetched)
             t6 = _time.perf_counter()
+            if stage_thread is not None:
+                stage_thread.join()  # excess beyond host decode -> stage_s
+                staged_next = box[0]
+            t7 = _time.perf_counter()
             out_q.put(
                 (
                     "pkts",
@@ -185,7 +198,10 @@ def _worker_main(cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q):
                         "lock_wait_s": t2 - t1,
                         "exec_s": t3 - t2,
                         "fetch_s": t4 - t3,
-                        "stage_s": (t5 - t4) + stage_s,
+                        # stage_s: this step's own (threaded) h2d-enqueue
+                        # CPU time, plus any join wait its successor's
+                        # stage added beyond the host decode this cycle.
+                        "stage_s": (t5 - t4) + (t7 - t6) + stage_s,
                         "host_s": t6 - t5,
                         "wire_bytes": nbytes,
                     },
