@@ -87,20 +87,28 @@ def _worker_main(cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q):
         from ais_tpu.pipeline.wideband import WidebandReceiver
 
         rx = WidebandReceiver(cfg, n_in=n_in)
-        # Per-connection h2d bandwidth probe: one wire-sized transfer,
-        # timed unoverlapped (the first transfer also pays connection
-        # setup, so time the second).  This is the number that decides
-        # how many fan workers the link supports (bench reports it).
+        # Per-connection h2d bandwidth probe: one wire-sized transfer of
+        # INCOMPRESSIBLE bytes (the tunnel compresses h2d, so zeros
+        # measure a fast path, not the link — tools/tpu_link_probe.py),
+        # timed unoverlapped, with the device array kept and consumed
+        # (a discarded device_put handle is elided and times at a bogus
+        # ~1.3 GB/s — tools/tpu_fan_bw_probe.py).  The first transfer
+        # pays connection setup; time the second.
         wire_nbytes = {"ci16": 4 * n_in, "ci8": 2 * n_in, "ci4": n_in,
                        "ci2": n_in // 2, "ci1": n_in // 4}.get(fmt, n_in)
-        probe = np.zeros(wire_nbytes, np.uint8)
+        probe = np.random.default_rng(0).integers(
+            0, 256, size=wire_nbytes, dtype=np.uint8
+        )
         h2d_mbps = None
         try:
             for _ in range(2):
                 t0 = _time.perf_counter()
-                jax.block_until_ready(jax.device_put(probe))
+                dev = jax.block_until_ready(jax.device_put(probe))
                 dt = _time.perf_counter() - t0
+            if np.asarray(dev)[0] != probe[0]:  # consume; defeat elision
+                raise RuntimeError("probe transfer corrupt")
             h2d_mbps = wire_nbytes / dt / 1e6
+            del dev
         except Exception:  # noqa: BLE001 — probe is informational only
             pass
         del probe
