@@ -151,6 +151,92 @@ def _sigma_delta_ci1_numpy(iq: np.ndarray, scale: float) -> np.ndarray:
     return np.packbits(bits)
 
 
+def _prefix_xor_bytes(v: jax.Array) -> jax.Array:
+    """Inclusive prefix-XOR along a 1-D uint8/int32 vector, by log-doubling
+    (pad-front + static slice + xor only — every step is on the tunnel
+    backend's safe-op list; cumsum can lower via reduce_window, which is
+    not, ARCHITECTURE.md §4)."""
+    n = v.shape[0]
+    s = 1
+    while s < n:
+        v = v ^ jnp.pad(v, (s, 0))[:n]
+        s <<= 1
+    return v
+
+
+def _spread8(b: jax.Array) -> jax.Array:
+    """Spread the 8 bits of each byte to the even bit positions of an
+    int32 (bit j -> bit 2j); the standard Morton interleave half."""
+    t = b & 0xFF
+    t = (t | (t << 4)) & 0x0F0F
+    t = (t | (t << 2)) & 0x3333
+    t = (t | (t << 1)) & 0x5555
+    return t
+
+
+def ci1_from_bytes_cd1(raw_u8: jax.Array, n_samples: int) -> jax.Array:
+    """cd1 wire bytes -> ci1 wire bytes, on device (pure elementwise +
+    log-depth prefix; fuses ahead of the ci1 ingest kernels).
+
+    cd1 is the ENTROPY-SHAPED framing of the ci1 sigma-delta stream for
+    compressing transports (the dev tunnel compresses h2d, so the ingest
+    budget is the wire's compressibility — tools/tpu_link_probe.py):
+    the I and Q bit planes are separated and first-order delta-coded
+    (bit[k] XOR bit[k-1]), which exposes the oversampled sigma-delta
+    stream's run structure to a byte-level LZ (zlib-1: 0.544 vs 0.665
+    for the interleaved layout on the full-load bench scene).  Same
+    byte count as ci1 (+1 pad byte when n % 8 == 4); information
+    content identical — the transform is exactly invertible here.
+
+    Layout: [packbits(delta I bits), ceil(n/8) bytes]
+            [packbits(delta Q bits), ceil(n/8) bytes], MSB-first.
+    Per-BUFFER framing (the planes split at the buffer midpoint), so
+    cd1 is a step-framed device-ingest format, not a resumable file
+    stream format like ci1 (io/sources.py).
+    """
+    nb = -(-n_samples // 8)
+    v = raw_u8.astype(jnp.int32)
+
+    def plane(d):
+        # In-byte inclusive prefix-XOR, MSB-first (bit j of out = XOR of
+        # bits 0..j), then carry the parity of all previous bytes.
+        x = d ^ (d >> 1)
+        x = x ^ (x >> 2)
+        x = x ^ (x >> 4)
+        parity = x & 1
+        carry_prev = _prefix_xor_bytes(parity) ^ parity  # exclusive
+        return x ^ (carry_prev * 0xFF)
+
+    i_bytes = plane(v[:nb])
+    q_bytes = plane(v[nb : 2 * nb])
+    o16 = (_spread8(i_bytes) << 1) | _spread8(q_bytes)
+    pair = jnp.stack([(o16 >> 8) & 0xFF, o16 & 0xFF], axis=-1)
+    return pair.reshape(2 * nb).astype(jnp.uint8)[: n_samples // 4]
+
+
+def iq_from_bytes_cd1(raw_u8: jax.Array, n_samples: int) -> jax.Array:
+    """(2*ceil(n/8),) cd1 bytes -> (n,) complex64 (levels ±1)."""
+    return iq_from_bytes_ci1(ci1_from_bytes_cd1(raw_u8, n_samples))
+
+
+def cd1_bytes_from_ci1(ci1_bytes: np.ndarray, n_samples: int) -> np.ndarray:
+    """Host-side ci1 -> cd1 transform (see ci1_from_bytes_cd1)."""
+    bits = np.unpackbits(np.asarray(ci1_bytes, np.uint8))[: 2 * n_samples]
+    i_bits, q_bits = bits[0::2], bits[1::2]
+
+    def delta(b):
+        d = b.copy()
+        d[1:] ^= b[:-1]
+        return np.packbits(d)
+
+    return np.concatenate([delta(i_bits), delta(q_bits)])
+
+
+def cd1_wire_nbytes(n_samples: int) -> int:
+    """Wire bytes for one n-sample cd1 step (two padded bit planes)."""
+    return 2 * (-(-n_samples // 8))
+
+
 def iq_from_bytes_cu8(raw_u8: jax.Array) -> jax.Array:
     """(2n,) uint8 offset-binary (rtl_sdr) interleaved IQ -> (n,) complex64."""
     v = (raw_u8.astype(jnp.float32) - 127.5) * (1.0 / 127.5)
@@ -229,6 +315,8 @@ def host_bytes(iq: np.ndarray, fmt: str, *, ci2_dither: float = 0.2) -> np.ndarr
         except Exception:  # noqa: BLE001 — numpy twin below
             pass
         return _sigma_delta_ci1_numpy(np.asarray(iq, np.complex64), scale)
+    if fmt == "cd1":
+        return cd1_bytes_from_ci1(host_bytes(iq, "ci1"), iq.size)
     if fmt == "cu8":
         i = np.round(np.clip(iq.real, -1, 1) * 127.5 + 127.5).astype(np.uint8)
         q = np.round(np.clip(iq.imag, -1, 1) * 127.5 + 127.5).astype(np.uint8)

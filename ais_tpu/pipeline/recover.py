@@ -70,6 +70,24 @@ def host_iq_from_wire(raw_u8: np.ndarray, fmt: str) -> np.ndarray:
         re = np.stack(f, axis=-1).reshape(-1).astype(np.float32) * 2.0 - 1.0
         im = np.stack(g, axis=-1).reshape(-1).astype(np.float32) * 2.0 - 1.0
         return (re + 1j * im).astype(np.complex64)
+    if fmt == "cd1":
+        # Delta-coded I/Q bit planes (ops/convert.py:ci1_from_bytes_cd1);
+        # undo the deltas in numpy, then decode as ci1.
+        nb = v.size // 2
+        n_samples = nb * 8  # may include <=4 pad samples; trim below
+
+        def undelta(plane):
+            d = np.unpackbits(plane)
+            return np.bitwise_xor.accumulate(d)
+
+        i_bits, q_bits = undelta(v[:nb]), undelta(v[nb:])
+        inter = np.empty(2 * n_samples, np.uint8)
+        inter[0::2], inter[1::2] = i_bits, q_bits
+        ci1 = np.packbits(inter)
+        # The planes carry ceil(n/8)*8 bit slots; the trailing pad (if
+        # n % 8 == 4) decodes to 4 extra samples the caller's n_in
+        # framing ignores — return them, the slicing is positional.
+        return host_iq_from_wire(ci1, "ci1")
     if fmt == "cu8":
         s = (v.astype(np.float32) - 127.5) * (1.0 / 127.5)
         return (s[0::2] + 1j * s[1::2]).astype(np.complex64)

@@ -414,6 +414,9 @@ class WidebandReceiver:
         subset of steps.
         """
         from ais_tpu.ops.convert import (
+            cd1_wire_nbytes,
+            ci1_from_bytes_cd1,
+            iq_from_bytes_cd1,
             iq_from_bytes_ci1,
             iq_from_bytes_ci2,
             iq_from_bytes_ci4,
@@ -432,8 +435,19 @@ class WidebandReceiver:
             "ci2": (iq_from_bytes_ci2, 1, 2),
             "ci1": (iq_from_bytes_ci1, 1, 4),
         }
-        conv, num, den = table[fmt]
-        want = self.n_in * num // den
+        if fmt == "cd1":
+            # Entropy-shaped ci1 (delta-coded I/Q bit planes, same byte
+            # count): a cheap on-device pre-decode reconstructs the ci1
+            # bytes, then the standard ci1 ingest (incl. the fused
+            # Pallas wire kernel) runs unchanged.  ops/convert.py
+            # ci1_from_bytes_cd1 for why this helps on compressing
+            # transports.
+            n_in = self.n_in
+            conv = lambda raw: iq_from_bytes_cd1(raw, n_in)  # noqa: E731
+            want = cd1_wire_nbytes(self.n_in)
+        else:
+            conv, num, den = table[fmt]
+            want = self.n_in * num // den
         if raw_u8.size != want:
             raise ValueError(
                 f"wire buffer {raw_u8.size} != {num}/{den} * n_in {self.n_in}"
@@ -452,9 +466,12 @@ class WidebandReceiver:
                 wire_channelizer_supported,
             )
 
+            # cd1 is ci1 after a cheap elementwise on-device pre-decode:
+            # the fused ci1 kernel (and its support check) applies.
+            kfmt = "ci1" if fmt == "cd1" else fmt
             if channelizer_mode(cfg, self.n_in) == "pallas" and (
                 wire_channelizer_supported(
-                    fmt, taps.size, cfg.decimation, cfg.offsets_hz,
+                    kfmt, taps.size, cfg.decimation, cfg.offsets_hz,
                     cfg.input_rate, self.n_in,
                 )
             ):
@@ -462,7 +479,7 @@ class WidebandReceiver:
                 # in one Pallas pass (the XLA unpack alone costs more
                 # than the whole kernel — see tools/tpu_exec_profile.py).
                 wc, wh = wire_channelizer_buffers(
-                    fmt, taps, cfg.decimation, cfg.offsets_hz, cfg.input_rate
+                    kfmt, taps, cfg.decimation, cfg.offsets_hz, cfg.input_rate
                 )
                 self._wire_bufs[fmt] = (
                     jax.device_put(wc), jax.device_put(wh)
@@ -470,8 +487,10 @@ class WidebandReceiver:
                 n_in = self.n_in
 
                 def fn(raw, ph, car, hf):
+                    if fmt == "cd1":
+                        raw = ci1_from_bytes_cd1(raw, n_in)
                     chans = pallas_wire_channelizer(
-                        raw, ph, car, hf, fmt=fmt, ntaps=taps.size,
+                        raw, ph, car, hf, fmt=kfmt, ntaps=taps.size,
                         decim=cfg.decimation, offsets=cfg.offsets_hz,
                         rate=cfg.input_rate, n_in=n_in,
                     )

@@ -128,13 +128,22 @@ def _geometry():
     return cfg, n_in
 
 
-WIRE_FMT = "ci1"  # 1-bit sigma-delta IQ, 4 samples/byte: the ingest
-#   link (~30-50 MB/s tunnel h2d per connection) is the binding
-#   constraint, and the first-order noise shaping (OSR ~ 33 for the AIS
-#   band) keeps the in-band quantization noise ~40 dB under the signal
-#   after the channelizer — content parity stays 1.0 at full load
-#   (ops/convert.py, tests/test_convert_ci1.py).  ci2 (AGC'd Lloyd-Max)
-#   and ci4 remain for front ends without a sigma-delta path.
+WIRE_FMT = os.environ.get("AIS_TPU_WIRE_FMT", "ci1")
+#   ci1: 1-bit sigma-delta IQ, 4 samples/byte — the ingest link
+#   (~30-50 MB/s tunnel h2d per connection) is the binding constraint,
+#   and the first-order noise shaping (OSR ~ 33 for the AIS band) keeps
+#   the in-band quantization noise ~40 dB under the signal after the
+#   channelizer — content parity stays 1.0 at full load
+#   (ops/convert.py, tests/test_convert_ci1.py).  cd1 is the same bit
+#   stream with delta-coded I/Q planes (more compressible to the
+#   tunnel's transparent h2d compression); ci2 (AGC'd Lloyd-Max) and
+#   ci4 remain for front ends without a sigma-delta path.
+
+# Distinct step contents cycled through every window: a real SDR stream
+# never repeats bytes, so the bench must not hand the tunnel the same
+# buffer twice in a row (content reuse could hit transport caches and
+# flatter the number).
+N_WIRES = 4
 
 
 def _split(stats: dict | None) -> dict | None:
@@ -178,7 +187,17 @@ def measure(backend: str) -> dict:
     n_in = rx.n_in  # decim-aligned
 
     iq, tx_packets = _scene(cfg, n_in, rx.step_raw)
-    wire = host_bytes((iq * 0.7).astype("complex64"), WIRE_FMT)
+    iq = (iq * 0.7).astype("complex64")
+    import numpy as np
+
+    # N_WIRES distinct step contents: circular shifts by a prime offset
+    # (every packet stays inside the core span; the sigma-delta restarts
+    # so the bytes differ everywhere).
+    wires = [
+        host_bytes(np.roll(iq, 977 * k) if k else iq, WIRE_FMT)
+        for k in range(N_WIRES)
+    ]
+    wire = wires[0]
 
     # Warm-up: compile + content-parity check.
     t0 = time.time()
@@ -201,9 +220,16 @@ def measure(backend: str) -> dict:
     iters, windows = 8, 3
 
     def run_window(depth: int):
-        pkts, host_s = 0, 0.0
+        pkts, host_s, sub = 0, 0.0, 0
+
+        def submit():
+            nonlocal sub
+            h = rx.submit_wire(wires[sub % N_WIRES], WIRE_FMT)
+            sub += 1
+            return h
+
         t0 = time.time()
-        pending = [rx.submit_wire(wire, WIRE_FMT) for _ in range(depth)]
+        pending = [submit() for _ in range(depth)]
         done = 0
         while pending:
             th = time.time()
@@ -211,7 +237,7 @@ def measure(backend: str) -> dict:
             host_s += time.time() - th
             done += 1
             if done + len(pending) < iters:
-                pending.append(rx.submit_wire(wire, WIRE_FMT))
+                pending.append(submit())
         return time.time() - t0, pkts, host_s
 
     best = None  # (dt, pkts, host_s, depth, split)
@@ -253,7 +279,7 @@ def measure(backend: str) -> dict:
                     fan.reset_collect_stats()
                     t0 = time.time()
                     for i in range(fan_iters):
-                        fan.submit(i, wire)
+                        fan.submit(i, wires[i % N_WIRES])
                     fan.drain(timeout=600)
                     dt = time.time() - t0
                     if fan_best is None or dt < fan_best[0]:
