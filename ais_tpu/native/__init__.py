@@ -92,6 +92,12 @@ def load():
         ctypes.c_float,
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.sigma_delta_cr1.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.crc16_x25.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
     lib.crc16_x25.restype = ctypes.c_uint16
     lib.hdlc_deframe.argtypes = [
@@ -173,6 +179,28 @@ def sigma_delta_ci1(iq: np.ndarray, scale: float) -> np.ndarray:
     iq = np.ascontiguousarray(iq, dtype=np.complex64)
     out = np.empty(iq.size // 4, dtype=np.uint8)
     lib.sigma_delta_ci1(
+        iq.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        iq.size,
+        float(scale),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
+
+
+def sigma_delta_cr1(iq: np.ndarray, scale: float) -> np.ndarray:
+    """Second-order bandpass sigma-delta 1-bit encode (cr1 wire format:
+    fs/4-IF real stream, 8 samples/byte, 1 bit per complex sample).
+
+    `iq`: complex64 (n,); `scale` maps into the unit-level quantizer
+    domain.  Returns (ceil(n/8),) uint8 (last byte zero-padded).
+    Numpy twin: ais_tpu.ops.convert._sigma_delta_cr1_numpy.
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    iq = np.ascontiguousarray(iq, dtype=np.complex64)
+    out = np.empty(-(-iq.size // 8), dtype=np.uint8)
+    lib.sigma_delta_cr1(
         iq.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         iq.size,
         float(scale),

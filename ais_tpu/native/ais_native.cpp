@@ -67,6 +67,47 @@ void sigma_delta_ci1(const float* iq, int64_t n_complex, float scale,
   }
 }
 
+// Second-order BANDPASS sigma-delta 1-bit encode of complex IQ into the
+// cr1 wire format: 8 REAL samples per byte (1 bit per complex input
+// sample), MSB-first in time.  The encoder shifts the complex baseband
+// to an fs/4 IF (multiply by j^n: Re(iq*j^n) cycles re, -im, -re, im)
+// and noise-shapes the 1-bit quantization error with NTF = (1+z^-2)^2 —
+// zeros at +/-fs/4, so the error feedback uses the 2- and 4-delayed
+// terms: si = x[n] - 2 e[n-2] - e[n-4].  The decoder downconverts by
+// (-j)^n back to baseband; the mirror sideband lands at fs/2 where the
+// channelizer low-pass removes it (ops/convert.py:iq_from_bytes_cr1).
+// Error terms clipped to +/-4 for 1-bit overload stability (same
+// discipline as sigma_delta_ci1).  Trailing bits of the last byte (when
+// n_complex % 8 != 0) are zero-padded.
+void sigma_delta_cr1(const float* iq, int64_t n_complex, float scale,
+                     uint8_t* out) {
+  float e1 = 0.0f, e2 = 0.0f, e3 = 0.0f, e4 = 0.0f;
+  int64_t n_bytes = (n_complex + 7) / 8;
+  for (int64_t b = 0; b < n_bytes; ++b) {
+    uint8_t byte = 0;
+    for (int k = 0; k < 8; ++k) {
+      int64_t s = 8 * b + k;
+      int bit = 0;
+      if (s < n_complex) {
+        float x;
+        switch (s & 3) {  // Re(iq[s] * j^s)
+          case 0: x = iq[2 * s]; break;
+          case 1: x = -iq[2 * s + 1]; break;
+          case 2: x = -iq[2 * s]; break;
+          default: x = iq[2 * s + 1]; break;
+        }
+        float si = x * scale - 2.0f * e2 - e4;
+        bit = si >= 0.0f;
+        float e0 = si - (bit ? 1.0f : -1.0f);
+        if (e0 > 4.0f) e0 = 4.0f; else if (e0 < -4.0f) e0 = -4.0f;
+        e4 = e3; e3 = e2; e2 = e1; e1 = e0;
+      }
+      byte = (uint8_t)((byte << 1) | bit);
+    }
+    out[b] = byte;
+  }
+}
+
 // --------------------------------------------------------------- CRC ----
 
 static uint16_t crc_table[256];

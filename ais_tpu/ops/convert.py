@@ -109,6 +109,11 @@ def iq_from_bytes_ci2(raw_u8: jax.Array) -> jax.Array:
 CI1_HEADROOM = 0.7
 # Back-compat alias (the decoder's ±1 levels are scale-free).
 CI1_GAIN = CI1_HEADROOM
+# cr1's second-order loop wants more stability margin than the
+# first-order ci1 pair: full-load content parity is 1.0 at 0.5-0.6 and
+# 0.8 but drops a marginal packet at 0.7 (decision-noise edge, measured
+# on the bench scene) — 0.6 sits in the clean region with SNR to spare.
+CR1_HEADROOM = 0.6
 
 
 def iq_from_bytes_ci1(raw_u8: jax.Array) -> jax.Array:
@@ -237,6 +242,73 @@ def cd1_wire_nbytes(n_samples: int) -> int:
     return 2 * (-(-n_samples // 8))
 
 
+def iq_from_bytes_cr1(raw_u8: jax.Array, n_samples: int) -> jax.Array:
+    """(ceil(n/8),) cr1 bytes -> (n,) complex64 baseband.
+
+    cr1 is the 1-bit-per-complex-sample wire: the encoder shifts the
+    baseband to an fs/4 IF (multiply by j^n), keeps the REAL part, and
+    noise-shapes the 1-bit quantization error with a second-order
+    BANDPASS sigma-delta (NTF = (1+z^-2)^2, zeros at ±fs/4) — so the
+    AIS channels at IF ± 25 kHz sit inside the shaping notch.  8 real
+    samples/byte, MSB-first: HALF the wire bytes of ci1 for the same
+    sample rate, which matters because the ingest link, not the chip,
+    binds end-to-end throughput (ARCHITECTURE.md §5, STATUS.md).
+
+    The decoder maps bits to ±1 and downconverts by (-j)^n back to
+    baseband: the wanted sideband lands at DC, the mirror at fs/2, and
+    the shaped quantization noise away from the channel offsets — the
+    standard channelizer low-pass (11 kHz at ±25 kHz offsets) removes
+    both, so everything downstream of this function is IDENTICAL to the
+    other wire formats (same channelizer config, same positions).
+    In-band cost vs ci1: one noise-shaping notch must cover both
+    channels (≈ ±36 kHz of IF) instead of two independent lowpass
+    loops, hence the second-order NTF; full-load content parity stays
+    1.0 (tests/test_convert_cr1.py).
+    """
+    v = raw_u8.astype(jnp.int32)
+    bits = jnp.stack([(v >> s) & 1 for s in (7, 6, 5, 4, 3, 2, 1, 0)], axis=-1)
+    r = bits.reshape(v.shape[-1] * 8)[:n_samples].astype(jnp.float32) * 2.0 - 1.0
+    # (-j)^n: re = r*cos(-pi n/2) = r*[1,0,-1,0]; im = r*[0,-1,0,1].
+    n4 = -(-n_samples // 4)
+    re_pat = jnp.tile(jnp.array([1.0, 0.0, -1.0, 0.0], jnp.float32), n4)[:n_samples]
+    im_pat = jnp.tile(jnp.array([0.0, -1.0, 0.0, 1.0], jnp.float32), n4)[:n_samples]
+    return jax.lax.complex(r * re_pat, r * im_pat)
+
+
+def _sigma_delta_cr1_numpy(iq: np.ndarray, scale: float) -> np.ndarray:
+    """Pure-numpy twin of native.sigma_delta_cr1 (slow; tests + fallback).
+
+    All arithmetic is float32 in the C++ order of evaluation: the
+    second-order loop is decision-sensitive, so a float64 twin diverges
+    from the native stream after a few thousand samples.
+    """
+    n = iq.size
+    # Re(iq[n] * j^n): cycles re, -im, -re, im.
+    x = np.empty(n, np.float32)
+    x[0::4] = iq.real[0::4]
+    x[1::4] = -iq.imag[1::4]
+    x[2::4] = -iq.real[2::4]
+    x[3::4] = iq.imag[3::4]
+    x *= np.float32(scale)  # C++: x * scale, float32
+    bits = np.empty(n, np.uint8)
+    f = np.float32
+    one, two, four = f(1.0), f(2.0), f(4.0)
+    e1 = e2 = e3 = e4 = f(0.0)
+    for k in range(n):
+        si = (x[k] - two * e2) - e4
+        b = bool(si >= 0.0)
+        bits[k] = b
+        e0 = si - (one if b else -one)
+        e0 = np.minimum(four, np.maximum(-four, e0))
+        e4, e3, e2, e1 = e3, e2, e1, e0
+    return np.packbits(bits)
+
+
+def cr1_wire_nbytes(n_samples: int) -> int:
+    """Wire bytes for one n-sample cr1 step (last byte zero-padded)."""
+    return -(-n_samples // 8)
+
+
 def iq_from_bytes_cu8(raw_u8: jax.Array) -> jax.Array:
     """(2n,) uint8 offset-binary (rtl_sdr) interleaved IQ -> (n,) complex64."""
     v = (raw_u8.astype(jnp.float32) - 127.5) * (1.0 / 127.5)
@@ -317,6 +389,22 @@ def host_bytes(iq: np.ndarray, fmt: str, *, ci2_dither: float = 0.2) -> np.ndarr
         return _sigma_delta_ci1_numpy(np.asarray(iq, np.complex64), scale)
     if fmt == "cd1":
         return cd1_bytes_from_ci1(host_bytes(iq, "ci1"), iq.size)
+    if fmt == "cr1":
+        # Same peak-referenced scaling discipline as ci1 (see above);
+        # the IF real stream has the same component peaks.
+        comps = np.abs(np.concatenate([iq.real, iq.imag]))
+        peak = float(max(np.percentile(comps, 99.9), 0.5 * comps.max())) or 1.0
+        scale = CR1_HEADROOM / peak
+        try:
+            from ais_tpu import native
+
+            if native.available():
+                return native.sigma_delta_cr1(
+                    np.ascontiguousarray(iq, np.complex64), scale
+                )
+        except Exception:  # noqa: BLE001 — numpy twin below
+            pass
+        return _sigma_delta_cr1_numpy(np.asarray(iq, np.complex64), scale)
     if fmt == "cu8":
         i = np.round(np.clip(iq.real, -1, 1) * 127.5 + 127.5).astype(np.uint8)
         q = np.round(np.clip(iq.imag, -1, 1) * 127.5 + 127.5).astype(np.uint8)

@@ -96,7 +96,8 @@ def _worker_main(cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q):
         # pays connection setup; time the second.
         wire_nbytes = {"ci16": 4 * n_in, "ci8": 2 * n_in, "ci4": n_in,
                        "ci2": n_in // 2, "ci1": n_in // 4,
-                       "cd1": 2 * (-(-n_in // 8))}.get(fmt, n_in)
+                       "cd1": 2 * (-(-n_in // 8)),
+                       "cr1": -(-n_in // 8)}.get(fmt, n_in)
         probe = np.random.default_rng(0).integers(
             0, 256, size=wire_nbytes, dtype=np.uint8
         )

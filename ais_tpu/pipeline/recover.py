@@ -70,6 +70,18 @@ def host_iq_from_wire(raw_u8: np.ndarray, fmt: str) -> np.ndarray:
         re = np.stack(f, axis=-1).reshape(-1).astype(np.float32) * 2.0 - 1.0
         im = np.stack(g, axis=-1).reshape(-1).astype(np.float32) * 2.0 - 1.0
         return (re + 1j * im).astype(np.complex64)
+    if fmt == "cr1":
+        # 1-bit fs/4-IF real stream -> baseband complex (the numpy twin
+        # of ops/convert.py:iq_from_bytes_cr1): bits to ±1, then
+        # multiply by (-j)^n.
+        r = np.unpackbits(v).astype(np.float32) * 2.0 - 1.0
+        re = np.zeros(r.size, np.float32)
+        im = np.zeros(r.size, np.float32)
+        re[0::4] = r[0::4]
+        im[1::4] = -r[1::4]
+        re[2::4] = -r[2::4]
+        im[3::4] = r[3::4]
+        return (re + 1j * im).astype(np.complex64)
     if fmt == "cd1":
         # Delta-coded I/Q bit planes (ops/convert.py:ci1_from_bytes_cd1);
         # undo the deltas in numpy, then decode as ci1.

@@ -416,12 +416,14 @@ class WidebandReceiver:
         from ais_tpu.ops.convert import (
             cd1_wire_nbytes,
             ci1_from_bytes_cd1,
+            cr1_wire_nbytes,
             iq_from_bytes_cd1,
             iq_from_bytes_ci1,
             iq_from_bytes_ci2,
             iq_from_bytes_ci4,
             iq_from_bytes_ci8,
             iq_from_bytes_ci16,
+            iq_from_bytes_cr1,
         )
 
         # fmt -> (device converter, wire bytes per sample as num/den).
@@ -445,6 +447,14 @@ class WidebandReceiver:
             n_in = self.n_in
             conv = lambda raw: iq_from_bytes_cd1(raw, n_in)  # noqa: E731
             want = cd1_wire_nbytes(self.n_in)
+        elif fmt == "cr1":
+            # 1 bit per complex sample (fs/4-IF bandpass sigma-delta):
+            # HALF the ci1 wire bytes.  The device decode downconverts
+            # back to baseband, so the standard channelizer (same
+            # offsets, same compiled structure) consumes it directly.
+            n_in = self.n_in
+            conv = lambda raw: iq_from_bytes_cr1(raw, n_in)  # noqa: E731
+            want = cr1_wire_nbytes(self.n_in)
         else:
             conv, num, den = table[fmt]
             want = self.n_in * num // den

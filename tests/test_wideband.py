@@ -330,6 +330,20 @@ def test_near_far_adjacent_channel_selectivity(receiver):
     assert sorted(p.nmea for p in got) == [SENTENCE_A, SENTENCE_B]
 
 
+def test_near_far_cr1_at_28db(receiver):
+    """The 1-bit-per-sample cr1 wire carries a 28 dB near-far imbalance:
+    the second-order bandpass noise-shaping notch covers both channels,
+    so the weak packet rides above the in-band quantization floor even
+    when the peak-referenced scale is set by the strong carrier
+    (ops/convert.py:iq_from_bytes_cr1)."""
+    from ais_tpu.ops.convert import host_bytes
+
+    iq = _near_far_scene(receiver.n_in, weak_amplitude=0.04)
+    rx2 = WidebandReceiver(receiver.cfg, n_in=receiver.n_in)
+    got = rx2.decode_wire(host_bytes(iq, "cr1"), "cr1")
+    assert sorted(p.nmea for p in got) == [SENTENCE_A, SENTENCE_B]
+
+
 def test_near_far_ci4_at_12db(receiver):
     """ci4's undithered 4-bit grid holds a 12 dB near-far imbalance
     (a weak overlapping packet one-third of a quantization step rides
