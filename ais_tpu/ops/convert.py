@@ -316,7 +316,13 @@ def iq_from_bytes_cu8(raw_u8: jax.Array) -> jax.Array:
     return jax.lax.complex(v[:, 0], v[:, 1])
 
 
-def host_bytes(iq: np.ndarray, fmt: str, *, ci2_dither: float = 0.2) -> np.ndarray:
+def host_bytes(
+    iq: np.ndarray,
+    fmt: str,
+    *,
+    ci2_dither: float = 0.2,
+    headroom: float | None = None,
+) -> np.ndarray:
     """Encode complex64 IQ into the uint8 wire view for tests/benches.
 
     `ci2_dither`: Gaussian dither amplitude for the 2-bit encode, as a
@@ -326,6 +332,10 @@ def host_bytes(iq: np.ndarray, fmt: str, *, ci2_dither: float = 0.2) -> np.ndarr
     marginal burst; ~0.1-0.3 RMS of dither whitens the spurs and
     restores full-load content parity to 1.0 (real front ends get this
     dither for free from thermal noise).  Deterministic (fixed seed).
+
+    `headroom`: override the sigma-delta loop headroom for ci1/cr1
+    (defaults CI1_HEADROOM / CR1_HEADROOM; tools/cr1_headroom_sweep.py
+    measures the margin the defaults sit in).
     """
     if fmt in ("ci16", "cs16"):
         i = np.round(np.clip(iq.real, -1, 1 - 1 / 32768) * 32768).astype("<i2")
@@ -376,7 +386,7 @@ def host_bytes(iq: np.ndarray, fmt: str, *, ci2_dither: float = 0.2) -> np.ndarr
         # (brief clipping the clamped integrator absorbs).
         comps = np.abs(np.concatenate([iq.real, iq.imag]))
         peak = float(max(np.percentile(comps, 99.9), 0.5 * comps.max())) or 1.0
-        scale = CI1_HEADROOM / peak
+        scale = (CI1_HEADROOM if headroom is None else headroom) / peak
         try:
             from ais_tpu import native
 
@@ -394,7 +404,7 @@ def host_bytes(iq: np.ndarray, fmt: str, *, ci2_dither: float = 0.2) -> np.ndarr
         # the IF real stream has the same component peaks.
         comps = np.abs(np.concatenate([iq.real, iq.imag]))
         peak = float(max(np.percentile(comps, 99.9), 0.5 * comps.max())) or 1.0
-        scale = CR1_HEADROOM / peak
+        scale = (CR1_HEADROOM if headroom is None else headroom) / peak
         try:
             from ais_tpu import native
 

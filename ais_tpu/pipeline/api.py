@@ -51,6 +51,17 @@ class BasebandReceiver:
         block_len: int = 16384,
         core_len: int | None = None,
     ):
+        if deframer.max_length_bytes > demod.max_frame_bytes:
+            raise ValueError(
+                f"DeframerConfig.max_length_bytes={deframer.max_length_bytes} "
+                f"exceeds the demod window's frame capacity "
+                f"({demod.max_frame_bytes} bytes at burst_len="
+                f"{demod.burst_len}): the device extraction window would "
+                f"truncate long frames before the deframer saw them.  Use "
+                f"ais_tpu.core.params.demod_for_max_frame("
+                f"{deframer.max_length_bytes}) to scale burst_len (and pass "
+                f"a block_len comfortably above burst_len + halo)."
+            )
         self.demod_cfg = demod
         self.deframer_cfg = deframer
         self.designator = designator
@@ -123,7 +134,7 @@ class BasebandReceiver:
         self._demod = jit_burst_demod(self.demod_cfg, self.block_len, self.core_len)
 
     def get_threshold(self) -> float:
-        return self.demod_cfg.corr_threshold
+        return self.demod_cfg.resolved_corr_threshold
 
     # -- checkpoint / resume ------------------------------------------------
     # The reference has none (SURVEY.md §5.4): its DSP state lives in C++

@@ -167,7 +167,7 @@ class AisRadio:
 
     def get_threshold(self) -> float:
         if self.wideband is not None:
-            return self.wideband.cfg.demod.corr_threshold
+            return self.wideband.cfg.demod.resolved_corr_threshold
         return self.rx_paths[0].baseband.get_threshold()
 
     def set_gain(self, gain: float) -> float:

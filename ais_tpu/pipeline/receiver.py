@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ais_tpu.core.params import DemodConfig
+from ais_tpu.core.params import BURST_GRID, DemodConfig
 from ais_tpu.ops.agc import feedforward_agc
 from ais_tpu.ops.demod import quadrature_demod, slice_diff_invert
 from ais_tpu.ops.framing import frame_overlap_big
@@ -73,9 +73,6 @@ def required_halo(cfg: DemodConfig) -> int:
     return cfg.burst_len + max(cfg.agc_window, preamble_len) + 16
 
 
-BURST_GRID = 512  # extraction-window start lattice (samples)
-
-
 def burst_table_geometry(cfg: DemodConfig) -> tuple[int, int]:
     """(win_len, n_symbols) of the per-burst extraction table — the static
     shape of `BurstRecords.bits` rows.  Host-side consumers (the compact
@@ -109,7 +106,7 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
         raise ValueError(f"unknown demod_mode {cfg.demod_mode!r}")
     sps_int = int(round(cfg.samples_per_symbol))
     wf = preamble_waveform(sps_int, cfg.gmsk_bt)
-    thresh = autocorr_threshold(wf, cfg.corr_threshold)
+    thresh = autocorr_threshold(wf, cfg.resolved_corr_threshold)
     # Matched-filter formulation, resolved at build time (like the
     # wideband channelizer_mode): env > config; "auto" = the fused
     # Pallas MXU correlator off-CPU, FFT overlap-save on CPU.
@@ -163,7 +160,7 @@ def make_burst_demod(cfg: DemodConfig, block_len: int, core_len: int):
         # absolute threshold (e.g. the MLSE preset) already lowers the
         # fixed path.
         cfar_k = (
-            cfg.corr_cfar_k * max(1.0, cfg.corr_threshold / 0.9)
+            cfg.corr_cfar_k * max(1.0, cfg.resolved_corr_threshold / 0.9)
             if cfg.corr_cfar_k is not None
             else None
         )

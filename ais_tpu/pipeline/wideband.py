@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ais_tpu.core.params import AIS_BIT_RATE, DemodConfig
+from ais_tpu.core.params import AIS_BIT_RATE, DeframerConfig, DemodConfig
 from ais_tpu.ops.firdes import low_pass
 from ais_tpu.ops.fir import freq_xlating_fir_decimate, mixer_phase
 from ais_tpu.ops.framing import frame_overlap
@@ -44,6 +44,12 @@ class WidebandConfig(NamedTuple):
                                          # the reference's 1 kHz at 250 ksps
     block_len: int = 16384               # demod block at channel rate
     demod: DemodConfig = DemodConfig()
+    # HDLC deframer bounds for the host back half (reference:
+    # python/radio.py:64 — (11, 64); long-frame GRC variant (11, 1000),
+    # python/ais.grc:1229).  max_length_bytes beyond
+    # demod.max_frame_bytes is rejected at receiver construction: the
+    # device extraction window would truncate such frames silently.
+    deframer: DeframerConfig = DeframerConfig()
     # Drop cross-channel I/Q-image ghosts (same payload, same instant,
     # other channel, >=6 dB weaker pre-AGC power — see
     # pipeline/host.py:suppress_image_ghosts).  False restores the
@@ -336,6 +342,17 @@ class WidebandReceiver:
     """Streaming host wrapper around the fused wideband pipeline."""
 
     def __init__(self, cfg: WidebandConfig = WidebandConfig(), n_in: int | None = None):
+        if cfg.deframer.max_length_bytes > cfg.demod.max_frame_bytes:
+            raise ValueError(
+                f"deframer.max_length_bytes={cfg.deframer.max_length_bytes} "
+                f"exceeds the demod window's frame capacity "
+                f"({cfg.demod.max_frame_bytes} bytes at burst_len="
+                f"{cfg.demod.burst_len}) — the device extraction window "
+                f"would truncate long frames before the deframer saw "
+                f"them.  Scale the demod with ais_tpu.core.params."
+                f"demod_for_max_frame({cfg.deframer.max_length_bytes}) and "
+                f"raise block_len above burst_len + halo."
+            )
         self.cfg = cfg
         # Default: ~64 demod blocks per device call.
         if n_in is None:
@@ -586,6 +603,7 @@ class WidebandReceiver:
             self.core_len,
             designators=self.cfg.designators,
             dedupers=self._dedupers,
+            deframer=self.cfg.deframer,
             samples_per_symbol=self.cfg.sps,
         )
         if self.cfg.overflow_recovery:
@@ -666,6 +684,7 @@ class WidebandReceiver:
                         r,
                         chan_start + b * self.core_len,
                         designator=self.cfg.designators[c],
+                        deframer=self.cfg.deframer,
                         deduper=self._dedupers[c],
                         fftlen=self.cfg.demod.fftlen,
                         samples_per_symbol=self.cfg.sps,

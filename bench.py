@@ -5,10 +5,9 @@ Synthesizes a 2.4 Msps capture centered at 162.0 MHz at FULL AIS channel
 load — every 26.67 ms TDMA slot on both channels carries a packet with a
 distinct payload (~75 packets/s across A+B) — runs the fused
 channelize->AFC->AGC->correlate->timing->bits pipeline on device with
-double-buffered int8 wire ingest (transfer/compute of step N+1 overlaps
-the record fetch + host HDLC/NMEA of step N), verifies CONTENT parity
-(payload bytes + channel + position, not just position proximity), and
-reports sustained input throughput.
+double-buffered int8 wire ingest, verifies CONTENT parity (payload bytes
++ channel + position, not just position proximity), and reports
+sustained input throughput.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -16,25 +15,73 @@ vs_baseline is against the reference's implied operating point —
 real-time decode of a 250 ksps capture (SURVEY.md section 6), i.e.
 0.25 Msamples/s.
 
-The headline is the TPU chip's number (the metric is per-chip).  The CPU
-backend runs as a cross-check and is reported in detail; it becomes the
-headline only if the TPU is unreachable, and is then labeled
-"cpu-fallback".  Each backend runs in a subprocess: the tunnel TPU's
-remote-compile service can fail in ways that poison a process
-(ARCHITECTURE.md section 4).
+DEADLINE CONTRACT (the round-3 lesson): the driver runs this script
+under an external timeout and records only what it prints.  The bench
+therefore (a) works toward a wall-clock budget (AIS_TPU_BENCH_BUDGET_S,
+default 1500 s) and cuts phases that no longer fit, (b) emits a
+best-so-far JSON line after every completed phase (the parent keeps the
+child's last line), and (c) traps SIGTERM/SIGALRM so even an external
+kill still produces a parsed result.  Expensive one-time artifacts (the
+synthesized full-load wire steps, the XLA executables) persist in
+.bench_cache/ and .jax_cache/, so a warm run spends its budget
+measuring, not compiling.
+
+The headline is the TPU chip's number (the metric is per-chip).  The
+CPU backend runs as a cross-check ONLY when budget remains after the
+TPU measurement; it becomes the headline only if the TPU is
+unreachable, and is then labeled "cpu-fallback".  Each backend runs in
+a subprocess: the tunnel TPU's remote-compile service can fail in ways
+that poison a process (ARCHITECTURE.md section 4).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
+import threading
 import time
 
 BASELINE_MSPS = 0.25  # gr-ais: 2 channels from one 250 ksps SDR, real time
-TPU_TIMEOUT_S = 2400  # cold cache: 3 workers share one ~15 min remote compile
 SLOT_SAMPLES_2P4M = 64000  # 26.67 ms AIS TDMA slot at 2.4 Msps
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE_DIR = os.path.join(REPO, ".jax_cache")
+BENCH_CACHE = os.path.join(REPO, ".bench_cache")
+SCENE_VERSION = "v1"  # bump when _scene / encoder constants change
+
+# Wall-clock budget for the WHOLE bench (parent + children).  The
+# driver's own timeout killed round 3's run (BENCH_r03.json rc=124), so
+# the budget errs low and every phase is optional beyond the first
+# measured number.
+BUDGET_S = float(os.environ.get("AIS_TPU_BENCH_BUDGET_S", "1500"))
+T_START = time.time()
+DEADLINE = T_START + BUDGET_S
+
+
+def _remaining() -> float:
+    return DEADLINE - time.time()
+
+
+WIRE_FMT = os.environ.get("AIS_TPU_WIRE_FMT", "ci1")
+#   ci1: 1-bit sigma-delta IQ, 4 samples/byte — the ingest link
+#   (~30-50 MB/s tunnel h2d per connection) is the binding constraint,
+#   and the first-order noise shaping (OSR ~ 33 for the AIS band) keeps
+#   the in-band quantization noise ~40 dB under the signal after the
+#   channelizer — content parity stays 1.0 at full load
+#   (ops/convert.py, tests/test_convert_ci1.py).  cr1 is the fs/4-IF
+#   bandpass sigma-delta at 1 bit per complex sample (HALF the ci1
+#   bytes); cd1 is ci1 with delta-coded I/Q planes (more compressible
+#   to the tunnel's transparent h2d compression); ci2 (AGC'd Lloyd-Max)
+#   and ci4 remain for front ends without a sigma-delta path.
+
+# Distinct step contents cycled through every window: a real SDR stream
+# never repeats bytes, so the bench must not hand the tunnel the same
+# buffer twice in a row (content reuse could hit transport caches and
+# flatter the number).
+N_WIRES = 4
 
 
 def _scene(cfg, n_in, n_core):
@@ -79,6 +126,61 @@ def _scene(cfg, n_in, n_core):
     return iq, packets
 
 
+def _load_wires(cfg, n_in, step_raw):
+    """Wire steps + tx packet list for the full-load scene, disk-cached.
+
+    Scene synthesis (GMSK-modulating ~1200 packets into a 37.9 Msample
+    capture) plus N_WIRES sigma-delta encodes costs minutes of host
+    time; it is deterministic, so a warm bench loads it in ~1 s.
+    """
+    import numpy as np
+
+    key = f"{SCENE_VERSION}_{WIRE_FMT}_{n_in}_{N_WIRES}"
+    path = os.path.join(BENCH_CACHE, f"scene_{key}.npz")
+    if os.path.exists(path):
+        try:
+            z = np.load(path, allow_pickle=True)
+            wires = [z[f"wire{k}"] for k in range(N_WIRES)]
+            pk = z["packets"]  # (n, 3) object array: payload, start, off
+            from ais_tpu.tx.scenario import ScenarioPacket
+
+            tx_packets = [
+                ScenarioPacket(
+                    payload=bytes(p), start_sample=int(s), offset_hz=float(o)
+                )
+                for p, s, o in pk
+            ]
+            return wires, tx_packets
+        except Exception:  # noqa: BLE001 — rebuild below
+            pass
+
+    from ais_tpu.ops.convert import host_bytes
+
+    iq, tx_packets = _scene(cfg, n_in, step_raw)
+    iq = (iq * 0.7).astype("complex64")
+    # N_WIRES distinct step contents: circular shifts by a prime offset
+    # (every packet stays inside the core span; the sigma-delta restarts
+    # so the bytes differ everywhere).
+    wires = [
+        host_bytes(np.roll(iq, 977 * k) if k else iq, WIRE_FMT)
+        for k in range(N_WIRES)
+    ]
+    try:
+        os.makedirs(BENCH_CACHE, exist_ok=True)
+        np.savez(
+            path + ".tmp.npz",
+            packets=np.array(
+                [(p.payload, p.start_sample, p.offset_hz) for p in tx_packets],
+                dtype=object,
+            ),
+            **{f"wire{k}": w for k, w in enumerate(wires)},
+        )
+        os.replace(path + ".tmp.npz", path)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+    return wires, tx_packets
+
+
 def _content_parity(found, tx_packets, decim):
     """Fraction of transmitted packets decoded with exact payload bytes on
     the right channel near the right position."""
@@ -103,9 +205,6 @@ def _content_parity(found, tx_packets, decim):
     return matched / max(len(tx_packets), 1)
 
 
-CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-
-
 def _enable_cache(jax):
     """Persistent executable cache: the tunnel's remote compile service
     takes ~15 min for the wideband program; cache hits load in ~40 s."""
@@ -126,24 +225,6 @@ def _geometry():
     n48 = cfg.block_len + cfg.core_len * 63
     n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
     return cfg, n_in
-
-
-WIRE_FMT = os.environ.get("AIS_TPU_WIRE_FMT", "ci1")
-#   ci1: 1-bit sigma-delta IQ, 4 samples/byte — the ingest link
-#   (~30-50 MB/s tunnel h2d per connection) is the binding constraint,
-#   and the first-order noise shaping (OSR ~ 33 for the AIS band) keeps
-#   the in-band quantization noise ~40 dB under the signal after the
-#   channelizer — content parity stays 1.0 at full load
-#   (ops/convert.py, tests/test_convert_ci1.py).  cd1 is the same bit
-#   stream with delta-coded I/Q planes (more compressible to the
-#   tunnel's transparent h2d compression); ci2 (AGC'd Lloyd-Max) and
-#   ci4 remain for front ends without a sigma-delta path.
-
-# Distinct step contents cycled through every window: a real SDR stream
-# never repeats bytes, so the bench must not hand the tunnel the same
-# buffer twice in a row (content reuse could hit transport caches and
-# flatter the number).
-N_WIRES = 4
 
 
 def _split(stats: dict | None) -> dict | None:
@@ -171,39 +252,96 @@ def _split(stats: dict | None) -> dict | None:
     return out
 
 
-def measure(backend: str) -> dict:
-    """Single-process measurement (the CPU cross-check path)."""
+# ---------------------------------------------------------------------------
+# Child (one backend measurement in its own process)
+# ---------------------------------------------------------------------------
+
+_BEST: dict | None = None  # child: latest result; parent: final answer
+
+
+def _emit(result: dict) -> None:
+    """Print a (possibly provisional) result line and remember it."""
+    global _BEST
+    _BEST = result
+    print(json.dumps(result), flush=True)
+
+
+def _child_sig(signum, frame):  # noqa: ARG001 — signal API
+    """External kill: the latest emitted line is already on stdout; just
+    exit cleanly so the parent's reader sees EOF promptly."""
+    os._exit(0 if _BEST is not None else 1)
+
+
+def _result(msps, parity, extra: dict) -> dict:
+    detail = {
+        "wire_format": WIRE_FMT,
+        "realtime_multiple_at_2p4Msps": round(msps / 2.4, 1),
+        "packet_parity_warmup": round(parity, 4),
+    }
+    detail.update(extra)
+    if parity < 1.0:
+        detail["warning"] = "packet parity below 1.0"
+    return {
+        "metric": "wideband_iq_msamples_per_sec_per_chip",
+        "value": round(msps, 2),
+        "unit": "Msamples/s (2.4 Msps dual-channel AIS decode, end-to-end)",
+        "vs_baseline": round(msps / BASELINE_MSPS, 1),
+        "detail": detail,
+    }
+
+
+def measure(backend: str) -> int:
+    """One backend's measurement; emits progressively better JSON lines."""
+    signal.signal(signal.SIGTERM, _child_sig)
+    signal.signal(signal.SIGINT, _child_sig)
     import jax
 
     if backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
     _enable_cache(jax)
 
-    from ais_tpu.ops.convert import host_bytes
     from ais_tpu.pipeline.wideband import WidebandReceiver
 
     cfg, n_in = _geometry()
     rx = WidebandReceiver(cfg, n_in=n_in)
     n_in = rx.n_in  # decim-aligned
 
-    iq, tx_packets = _scene(cfg, n_in, rx.step_raw)
-    iq = (iq * 0.7).astype("complex64")
-    import numpy as np
-
-    # N_WIRES distinct step contents: circular shifts by a prime offset
-    # (every packet stays inside the core span; the sigma-delta restarts
-    # so the bytes differ everywhere).
-    wires = [
-        host_bytes(np.roll(iq, 977 * k) if k else iq, WIRE_FMT)
-        for k in range(N_WIRES)
-    ]
-    wire = wires[0]
+    t0 = time.time()
+    wires, tx_packets = _load_wires(cfg, n_in, rx.step_raw)
+    scene_s = time.time() - t0
 
     # Warm-up: compile + content-parity check.
     t0 = time.time()
-    found = rx.decode_wire(wire, WIRE_FMT)
+    found = rx.decode_wire(wires[0], WIRE_FMT)
     compile_s = time.time() - t0
     parity = _content_parity(found, tx_packets, cfg.decimation)
+
+    base_detail = {
+        "backend": str(jax.devices()[0]),
+        "tx_packets_per_call": len(tx_packets),
+        "n_in_per_call": n_in,
+        "scene_s": round(scene_s, 1),
+        "compile_s": round(compile_s, 1),
+    }
+
+    # Provisional number the moment compile is done: one timed decode.
+    # If the budget dies during the real windows, this line survives.
+    t0 = time.time()
+    n_pkts = len(rx.decode_wire(wires[1 % N_WIRES], WIRE_FMT))
+    dt1 = time.time() - t0
+    msps1 = n_in / dt1 / 1e6
+    _emit(
+        _result(
+            msps1,
+            parity,
+            {
+                **base_detail,
+                "mode": "single-process",
+                "phase": "provisional (1 step)",
+                "packets_per_sec": round(n_pkts / dt1, 1),
+            },
+        )
+    )
 
     # Steady state, two loop shapes per window:
     #   serial   — submit/collect one step at a time.  On the tunnel TPU
@@ -213,11 +351,11 @@ def measure(backend: str) -> dict:
     #   depth-2  — submit N+1 before collecting N.  On backends with a
     #     real async stream (CPU, PCIe TPUs) this overlaps host decode
     #     with device compute.
-    # Several measurement windows, best one reported: the dev TPU rides
-    # a shared tunnel whose bandwidth wanders minute-to-minute, so the
-    # peak window is the honest capability number (both backends get
-    # identical treatment).
-    iters, windows = 8, 3
+    # Several measurement windows; best AND median are reported (the dev
+    # TPU rides a shared tunnel whose bandwidth wanders minute-to-minute
+    # — the peak window is the capability number, the median the
+    # expectation; both backends get identical treatment).
+    iters, max_windows = 8, 3
 
     def run_window(depth: int):
         pkts, host_s, sub = 0, 0.0, 0
@@ -240,27 +378,47 @@ def measure(backend: str) -> dict:
                 pending.append(submit())
         return time.time() - t0, pkts, host_s
 
+    # Budget reserves: the fan phase needs worker warmup (~60-120 s on a
+    # warm executable cache) plus its windows; below the reserve we skip
+    # ahead so SOMETHING measured is always emitted.
+    fan_reserve = 420.0 if backend == "tpu" else 0.0
+
+    sp_windows: list[float] = []  # per-window msps
     best = None  # (dt, pkts, host_s, depth, split)
-    for _w in range(windows):
+    for _w in range(max_windows):
         for depth in (1, 2):
-            # Per-window split (ADVICE r2): reset before each window so
-            # the reported per-step averages are the BEST window's
-            # steady state, not warmup + all windows blended.
             rx.reset_collect_stats()
             dt, pkts, host_s = run_window(depth)
+            sp_windows.append(n_in * iters / dt / 1e6)
             if best is None or dt < best[0]:
                 best = (dt, pkts, host_s, depth, dict(rx.collect_stats))
+        if _remaining() < fan_reserve + 90:
+            break
     best_dt, total_pkts, host_s, best_depth, best_split = best
     msps = n_in * iters / best_dt / 1e6
+    sp_sorted = sorted(sp_windows)
+    sp_median = sp_sorted[len(sp_sorted) // 2]
+
+    detail = {
+        **base_detail,
+        "mode": "single-process",
+        "packets_per_sec": round(total_pkts * msps * 1e6 / (n_in * iters), 1),
+        "single_process_msps": round(msps, 2),
+        "single_process_median_msps": round(sp_median, 2),
+        "window_msps": [round(v, 1) for v in sp_windows],
+        "collect_frac": round(host_s / best_dt, 3),
+        "collect_split": _split(best_split),
+        "pipeline_depth": best_depth,
+    }
+    _emit(_result(msps, parity, detail))
 
     # Multi-connection ingest fan (TPU only): the tunnel's h2d channel
     # is a per-connection FIFO, but bandwidth aggregates across client
     # connections; with executions lock-serialized the fan roughly
     # doubles sustained ingest (pipeline/multiproc.py).  One chip, one
     # host — the fan is ingest orchestration, not extra compute.
-    fan_msps, mode, fan_stats, fan_h2d = None, "single-process", None, None
     fan_workers = int(os.environ.get("AIS_TPU_FAN_WORKERS", "4"))
-    if backend == "tpu":
+    if backend == "tpu" and _remaining() > 240:
         try:
             from ais_tpu.pipeline.multiproc import MultiProcessWideband
 
@@ -271,60 +429,53 @@ def measure(backend: str) -> dict:
                 fmt=WIRE_FMT,
                 cache_dir=CACHE_DIR,
             )
-            fan.start(timeout=900)
+            fan.start(timeout=max(60.0, min(900.0, _remaining() - 60)))
             fan_h2d = list(fan.h2d_mbps)
+            fan_windows: list[float] = []
+            fan_best = None
+            fan_iters = 2 * iters
             try:
-                fan_best, fan_iters = None, 2 * iters
-                for _w in range(windows):
+                for _w in range(max_windows):
                     fan.reset_collect_stats()
                     t0 = time.time()
                     for i in range(fan_iters):
                         fan.submit(i, wires[i % N_WIRES])
-                    fan.drain(timeout=600)
+                    fan.drain(timeout=max(60.0, _remaining() - 30))
                     dt = time.time() - t0
+                    fan_windows.append(n_in * fan_iters / dt / 1e6)
                     if fan_best is None or dt < fan_best[0]:
                         fan_best = (dt, dict(fan.collect_stats))
+                    # Emit after every fan window: each may beat the last.
+                    fan_msps = max(fan_windows)
+                    fs = sorted(fan_windows)
+                    if fan_msps > msps:
+                        _emit(
+                            _result(
+                                fan_msps,
+                                parity,
+                                {
+                                    **detail,
+                                    "mode": f"fan-{fan_workers}conn",
+                                    "fan_msps": round(fan_msps, 2),
+                                    "fan_median_msps": round(
+                                        fs[len(fs) // 2], 2
+                                    ),
+                                    "fan_window_msps": [
+                                        round(v, 1) for v in fan_windows
+                                    ],
+                                    "fan_collect_split": _split(fan_best[1]),
+                                    "fan_h2d_mbps_per_conn": fan_h2d,
+                                },
+                            )
+                        )
+                    if _remaining() < 60:
+                        break
             finally:
                 fan.close()
-            fan_stats = fan_best[1]
-            fan_msps = n_in * fan_iters / fan_best[0] / 1e6
-            if fan_msps > msps:
-                msps, mode = fan_msps, f"fan-{fan_workers}conn"
         except Exception:  # noqa: BLE001 — fan is an optimization only
             pass
 
-    return {
-        "metric": "wideband_iq_msamples_per_sec_per_chip",
-        "value": round(msps, 2),
-        "unit": "Msamples/s (2.4 Msps dual-channel AIS decode, end-to-end)",
-        "vs_baseline": round(msps / BASELINE_MSPS, 1),
-        "detail": {
-            "backend": str(jax.devices()[0]),
-            "wire_format": WIRE_FMT,
-            "mode": mode,
-            "realtime_multiple_at_2p4Msps": round(msps / 2.4, 1),
-            "packet_parity_warmup": round(parity, 4),
-            "tx_packets_per_call": len(tx_packets),
-            # Decoded-packet rate at the headline sample rate (packets
-            # per sample is load-determined, not mode-determined).
-            "packets_per_sec": round(total_pkts * msps * 1e6 / (n_in * iters), 1),
-            "single_process_msps": round(n_in * iters / best_dt / 1e6, 2),
-            "fan3_msps": round(fan_msps, 2) if fan_msps else None,
-            "collect_frac": round(host_s / best_dt, 3),
-            # Collect-path split of the BEST single-process window:
-            # "fetch" is the blocking device-result wait (exec + d2h —
-            # in serial shape these are one FIFO), "host" the HDLC/NMEA
-            # back half.  The fan split carries the full per-phase
-            # breakdown (h2d wait / lock wait / exec / d2h / host) from
-            # the pipelined workers.
-            "collect_split": _split(best_split),
-            "fan_collect_split": _split(fan_stats) if fan_stats else None,
-            "fan_h2d_mbps_per_conn": fan_h2d,
-            "pipeline_depth": best_depth,
-            "compile_s": round(compile_s, 1),
-            "n_in_per_call": n_in,
-        },
-    }
+    return 0
 
 
 def _inner(backend: str) -> int:
@@ -333,32 +484,122 @@ def _inner(backend: str) -> int:
     os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
     os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.3")
     try:
-        result = measure(backend)
+        return measure(backend)
     except Exception as e:  # noqa: BLE001
-        print(json.dumps({"error": f"{type(e).__name__}: {e}"[:300]}))
-        return 1
-    if result["detail"]["packet_parity_warmup"] < 1.0:
-        result["detail"]["warning"] = "packet parity below 1.0"
-    print(json.dumps(result))
-    return 0
+        if _BEST is None:
+            print(json.dumps({"error": f"{type(e).__name__}: {e}"[:300]}), flush=True)
+            return 1
+        return 0  # a provisional line already went out — that stands
 
 
-def _run_backend(backend: str, timeout: int):
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-u", os.path.abspath(__file__), f"--backend={backend}"],
-            capture_output=True,
-            text=True,
-            timeout=timeout,
+# ---------------------------------------------------------------------------
+# Parent (orchestrates backends, owns the final line)
+# ---------------------------------------------------------------------------
+
+_CHILD: subprocess.Popen | None = None
+
+
+def _parent_sig(signum, frame):  # noqa: ARG001 — signal API
+    """Driver timeout (SIGTERM): kill the child, give its reader a beat
+    to pick up the last line, print the best-so-far, exit 0."""
+    if _CHILD is not None and _CHILD.poll() is None:
+        try:
+            _CHILD.terminate()
+        except Exception:  # noqa: BLE001
+            pass
+        time.sleep(1.0)
+    _finalize()
+
+
+def _finalize() -> None:
+    if _BEST is not None:
+        print(json.dumps(_BEST), flush=True)
+        os._exit(0)
+    print(
+        json.dumps(
+            {
+                "metric": "wideband_iq_msamples_per_sec_per_chip",
+                "value": 0,
+                "unit": "Msamples/s",
+                "vs_baseline": 0,
+                "detail": {"error": "no backend produced a result in budget"},
+            }
+        ),
+        flush=True,
+    )
+    os._exit(1)
+
+
+def _run_backend(backend: str, deadline: float, soft_deadline: float | None = None):
+    """Run one backend child, streaming its stdout; returns the last
+    valid JSON result it printed (or None) + an error string.
+
+    `soft_deadline`: if the child has produced NO result line by this
+    time, kill it there instead of at `deadline` — a TPU child stuck on
+    an unresponsive tunnel must not eat the CPU fallback's budget."""
+    global _CHILD
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__), f"--backend={backend}"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    _CHILD = proc
+    last: list = [None]
+    err: list = [None]
+    stderr_tail: list = [""]
+
+    def reader():
+        for line in proc.stdout:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                payload = json.loads(line)
+            except ValueError:
+                continue
+            if "error" in payload:
+                err[0] = f"{backend}: {payload['error'][:200]}"
+            else:
+                last[0] = payload
+
+    def err_reader():
+        # Drain stderr (JAX is chatty there); keep only a tail.  An
+        # undrained PIPE would deadlock the child once the buffer fills.
+        for line in proc.stderr:
+            stderr_tail[0] = (stderr_tail[0] + line)[-400:]
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    the = threading.Thread(target=err_reader, daemon=True)
+    the.start()
+    timed_out = False
+    if soft_deadline is not None:
+        try:
+            proc.wait(timeout=max(5.0, soft_deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            timed_out = last[0] is None  # nothing yet: give up early
+    if not timed_out and proc.poll() is None:
+        try:
+            proc.wait(timeout=max(5.0, deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            timed_out = True
+    if timed_out:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        if err[0] is None and last[0] is None:
+            err[0] = f"{backend}: timeout with no provisional result"
+    th.join(timeout=5)
+    the.join(timeout=5)
+    _CHILD = None
+    payload = last[0]
+    if payload is None:
+        return None, err[0] or (
+            f"{backend}: rc={proc.returncode} {stderr_tail[0][-200:]}"
         )
-    except subprocess.TimeoutExpired:
-        return None, f"{backend}: timeout after {timeout}s"
-    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
-    if not lines:
-        return None, f"{backend}: rc={proc.returncode} {proc.stderr[-200:]}"
-    payload = json.loads(lines[-1])
-    if "error" in payload:
-        return None, f"{backend}: {payload['error'][:200]}"
     if payload.get("detail", {}).get("packet_parity_warmup", 0) < 0.98:
         return None, (
             f"{backend}: parity "
@@ -368,44 +609,50 @@ def _run_backend(backend: str, timeout: int):
 
 
 def main() -> int:
+    global _BEST
     if len(sys.argv) > 1 and sys.argv[1].startswith("--backend="):
         return _inner(sys.argv[1].split("=", 1)[1])
 
+    signal.signal(signal.SIGTERM, _parent_sig)
+    signal.signal(signal.SIGINT, _parent_sig)
+
     # The metric is per-TPU-chip: the TPU measurement is the headline
-    # whenever it is valid; the CPU backend is a cross-check reported in
-    # detail (and the clearly-labeled fallback if the TPU is down).
+    # whenever it is valid; the CPU backend is a cross-check run only if
+    # budget remains (and the clearly-labeled fallback if the TPU is
+    # down).
     errors = []
-    tpu, err = _run_backend("tpu", TPU_TIMEOUT_S)
+    # Leave ~45 s of parent slack before the external deadline, and a
+    # CPU-fallback reserve in case the TPU child never gets a number
+    # out (unresponsive tunnel): a child that HAS emitted a line may
+    # run to the full deadline; one that hasn't is cut at the soft one.
+    tpu, err = _run_backend(
+        "tpu", DEADLINE - 45, soft_deadline=DEADLINE - 45 - 420
+    )
     if err:
         errors.append(err)
-    cpu, err = _run_backend("cpu", 1500)
-    if err:
-        errors.append(err)
+    if tpu is not None:
+        _BEST = tpu
+        if errors:
+            tpu["detail"]["errors"] = "; ".join(errors)[:300]
+
+    cpu = None
+    if _remaining() > 420 or tpu is None:
+        cpu, err = _run_backend("cpu", DEADLINE - 20)
+        if err:
+            errors.append(err)
 
     if tpu is not None:
         if cpu is not None:
             tpu["detail"]["cpu_crosscheck_msps"] = cpu["value"]
-        if errors:
-            tpu["detail"]["errors"] = "; ".join(errors)[:300]
-        print(json.dumps(tpu))
-        return 0
-    if cpu is not None:
+        _BEST = tpu
+    elif cpu is not None:
         cpu["detail"]["backend"] = f"cpu-fallback ({cpu['detail']['backend']})"
         cpu["detail"]["errors"] = "; ".join(errors)[:300]
-        print(json.dumps(cpu))
-        return 0
-    print(
-        json.dumps(
-            {
-                "metric": "wideband_iq_msamples_per_sec_per_chip",
-                "value": 0,
-                "unit": "Msamples/s",
-                "vs_baseline": 0,
-                "detail": {"error": "; ".join(errors)[:400]},
-            }
-        )
-    )
-    return 1
+        _BEST = cpu
+    elif errors:
+        _BEST = None
+    _finalize()
+    return 0  # unreachable; _finalize exits
 
 
 if __name__ == "__main__":

@@ -113,6 +113,27 @@ class TestPipelineMode:
         rx_disc = BasebandReceiver(demod=DemodConfig(corr_threshold=0.4))
         assert rx_disc.sentences(iq.copy()) == []
 
+    def test_mlse_one_knob_couples_threshold(self):
+        """`DemodConfig(demod_mode="mlse")` ALONE resolves the detection
+        preset (threshold 0.4): the weak packet that needs both knobs
+        decodes without setting corr_threshold by hand (VERDICT r3
+        weak #8 — the coupled-knob footgun)."""
+        cfg = DemodConfig(demod_mode="mlse")
+        assert cfg.resolved_corr_threshold == 0.4
+        assert DemodConfig().resolved_corr_threshold == 0.9
+        # Explicit override still wins.
+        assert (
+            DemodConfig(demod_mode="mlse", corr_threshold=0.9)
+            .resolved_corr_threshold
+            == 0.9
+        )
+        rng = np.random.default_rng(3)
+        iq = (rng.normal(size=48000) + 1j * rng.normal(size=48000)).astype(
+            np.complex64
+        ) * 0.35
+        iq[9000 : 9000 + IQ.size] += IQ.astype(np.complex64)
+        assert BasebandReceiver(demod=cfg).sentences(iq) == [SENTENCE]
+
     def test_mlse_pipeline_normal_snr(self):
         rng = np.random.default_rng(4)
         iq = (rng.normal(size=48000) + 1j * rng.normal(size=48000)).astype(

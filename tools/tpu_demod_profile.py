@@ -78,7 +78,7 @@ def main() -> int:
     halo = block_len - core_len
     sps_int = int(round(cfg.samples_per_symbol))
     wf = preamble_waveform(sps_int, cfg.gmsk_bt)
-    thresh = autocorr_threshold(wf, cfg.corr_threshold)
+    thresh = autocorr_threshold(wf, cfg.resolved_corr_threshold)
     win_len, n_sym = burst_table_geometry(cfg)
     fs = cfg.sample_rate
     grid = BURST_GRID
