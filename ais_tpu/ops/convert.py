@@ -309,6 +309,125 @@ def cr1_wire_nbytes(n_samples: int) -> int:
     return -(-n_samples // 8)
 
 
+def wire_format_envelope(
+    iq: np.ndarray,
+    rate: float = 2.4e6,
+    offsets: tuple = (-25e3, +25e3),
+    band_hz: float = 15e3,
+) -> dict:
+    """Capture statistics the 1-bit wire formats' envelopes are judged by.
+
+    Returns:
+      near_far_db — in-band power ratio between the strongest and the
+        weakest ACTIVE channel (0 when fewer than two channels are
+        above the noise floor, so an idle channel never trips the
+        near-far guard).
+      interferer_db — strongest narrowband out-of-band feature vs the
+        strongest in-band feature (smoothed PSD peaks).  A positive
+        value means something outside the AIS channels dominates the
+        capture and will set the peak-referenced sigma-delta scale.
+    """
+    # PSDs over chunks spread across the WHOLE buffer, judged PER CHUNK:
+    # AIS traffic is bursty (a packet is ~27 ms), so whole-capture power
+    # integration dilutes a weak burst below the noise floor and a
+    # leading-chunk-only analysis can miss every transmission.  Activity
+    # and channel power are per-chunk peaks (noise-subtracted), so a
+    # single weak burst anywhere in the buffer counts at its in-burst
+    # strength.
+    n = min(int(iq.size), 1 << 17)  # ~55 ms at 2.4 Msps: one burst fits
+    n_chunks = max(1, min(12, int(iq.size) // n))
+    win = np.hanning(n).astype(np.float32)
+    freqs = np.fft.fftfreq(n, 1.0 / rate)
+    masks = [np.abs(freqs - off) <= band_hz for off in offsets]
+    in_mask = np.zeros(n, bool)
+    for m in masks:
+        in_mask |= m
+    # ~1 kHz smoothing: an interferer is a narrowband feature, not a bin.
+    w = max(int(1e3 / rate * n), 1)
+    kern = np.ones(w) / w
+    tiny = 1e-30
+    ch_peak = [0.0] * len(offsets)
+    ch_active = [False] * len(offsets)
+    interferer_db = -np.inf
+    # A transmission's own spectral skirt lands in the ADJACENT channel
+    # ~40-46 dB down (GMSK BT=0.4 at 2x the channel spacing, plus burst
+    # ramps): in-band power within this bound of a same-chunk stronger
+    # channel is that channel's skirt, not a second transmission, and
+    # must not register as near-far "activity" (a lone strong
+    # transmitter would otherwise force a permanent ci8 fallback).
+    SKIRT_BOUND = 1e-4  # -40 dBc
+    for c in range(n_chunks):
+        start = (int(iq.size) - n) * c // max(n_chunks - 1, 1)
+        x = np.asarray(iq[start : start + n], np.complex64) * win
+        psd = np.abs(np.fft.fft(x)) ** 2
+        floor = float(np.median(psd))  # per-bin noise floor, this chunk
+        p_sub = []
+        for m in masks:
+            nb = int(m.sum())
+            p = float(psd[m].sum())
+            p_sub.append(p - floor * nb if p > 3.0 * floor * nb else 0.0)
+        strongest = max(p_sub)
+        for ci, p in enumerate(p_sub):
+            if p > 0.0 and p > SKIRT_BOUND * strongest:
+                ch_active[ci] = True
+                ch_peak[ci] = max(ch_peak[ci], p)
+        sm = np.convolve(psd, kern, mode="same")
+        peak_in = float(sm[in_mask].max()) if in_mask.any() else tiny
+        peak_out = float(sm[~in_mask].max()) if (~in_mask).any() else tiny
+        interferer_db = max(
+            interferer_db,
+            10.0 * np.log10(max(peak_out, tiny) / max(peak_in, tiny)),
+        )
+    act = [p for p, a in zip(ch_peak, ch_active) if a]
+    near_far_db = (
+        10.0 * np.log10(max(act) / max(min(act), tiny)) if len(act) >= 2 else 0.0
+    )
+    return {
+        "near_far_db": float(near_far_db),
+        "interferer_db": float(interferer_db),
+        "channels_active": ch_active,
+    }
+
+
+def select_wire_format(
+    iq: np.ndarray,
+    preferred: str = "cr1",
+    rate: float = 2.4e6,
+    offsets: tuple = (-25e3, +25e3),
+    near_far_limit_db: float = 24.0,
+    interferer_limit_db: float = 6.0,
+) -> tuple[str, str]:
+    """Auto-fallback for the 1-bit ingest formats: (format, reason).
+
+    cr1/ci1 buy ingest bandwidth with a peak-referenced 1-bit encode
+    whose measured envelopes are 28/26 dB near-far (tests/
+    test_wideband.py) and "the AIS channels dominate the capture"
+    (the sigma-delta scale is set by the total peak: a strong
+    out-of-band interferer pushes the wanted channels toward the
+    quantization floor).  When the capture's statistics exceed those
+    envelopes — checked per buffer, WIRE.md for the measured bounds —
+    fall back to the linear ci8 wire (full front-end dynamic range at
+    4x the bytes) instead of silently losing weak packets.  The limits
+    sit a few dB inside the tested bounds.
+    """
+    if preferred not in ("cr1", "ci1", "cd1"):
+        return preferred, "linear format: no envelope to check"
+    env = wire_format_envelope(iq, rate=rate, offsets=offsets)
+    if env["interferer_db"] > interferer_limit_db:
+        return (
+            "ci8",
+            f"out-of-band interferer {env['interferer_db']:.1f} dB above "
+            f"the AIS channels (> {interferer_limit_db:.0f} dB limit)",
+        )
+    if env["near_far_db"] > near_far_limit_db:
+        return (
+            "ci8",
+            f"near-far imbalance {env['near_far_db']:.1f} dB "
+            f"(> {near_far_limit_db:.0f} dB limit)",
+        )
+    return preferred, "within envelope"
+
+
 def iq_from_bytes_cu8(raw_u8: jax.Array) -> jax.Array:
     """(2n,) uint8 offset-binary (rtl_sdr) interleaved IQ -> (n,) complex64."""
     v = (raw_u8.astype(jnp.float32) - 127.5) * (1.0 / 127.5)
