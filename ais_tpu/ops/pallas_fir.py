@@ -351,6 +351,35 @@ def _ci1_unit_perm(decim: int) -> np.ndarray:
     return np.concatenate([np.arange(k, n, 4) for k in range(4)])
 
 
+# cr1 packs 8 REAL samples per byte (1 bit per complex sample at an fs/4
+# IF, ops/convert.py:iq_from_bytes_cr1): one D=50 decim-row spans 6.25
+# bytes, so the kernel works in UNITS of R = 8/gcd(8, D) decim-rows
+# (D=50 -> 4 rows, 25 bytes, 200 samples).  The decode is trivial
+# (bit -> ±1) and the (-j)^n IF downconversion FOLDS INTO THE CARRIER
+# TILE: decoded·mixer = r[n]·e^{-j2π(off+fs/4)n/fs}, whose row period
+# at the standard geometry equals the baseband one (625e3·50/2.4e6 and
+# 25e3·50/2.4e6 share the 1/48 fractional part).  The input being real
+# also halves the mix work: mr = x·cr, mi = x·ci — no cross terms.
+
+
+def _cr1_unit_rows(decim: int) -> int:
+    return 8 // int(np.gcd(8, decim))
+
+
+def _cr1_unit_perm(decim: int) -> np.ndarray:
+    n = decim * _cr1_unit_rows(decim)
+    return np.concatenate([np.arange(k, n, 8) for k in range(8)])
+
+
+def _cr1_m(m: int, r: int) -> int | None:
+    """Output tile for the cr1 kernel: the per-parity out block minor dim
+    m/R must be a Mosaic-legal 128 multiple; grow m (stays a multiple of
+    the carrier row-period) until it is."""
+    while (m // r) % 128 and m <= 4096:
+        m *= 2
+    return m if m <= 4096 else None
+
+
 def wire_channelizer_supported(fmt: str, ntaps: int, decim: int,
                                offsets_hz, sample_rate: float,
                                n_in: int | None = None) -> bool:
@@ -370,6 +399,17 @@ def wire_channelizer_supported(fmt: str, ntaps: int, decim: int,
             return False
         return pallas_channelizer_supported(ntaps, decim, offsets_hz,
                                             sample_rate)
+    if fmt == "cr1":
+        r = _cr1_unit_rows(decim)
+        if n_in is not None and n_in % (r * decim):
+            return False
+        # The IF-shifted carriers must stay periodic and the grown output
+        # tile legal.
+        eff = tuple(o + sample_rate / 4.0 for o in offsets_hz)
+        geo = _geometry(ntaps, decim, eff, sample_rate)
+        if geo is None:
+            return False
+        return _cr1_m(geo[0], r) is not None
     if fmt not in _WIRE_PERMS:
         return False
     if fmt == "ci2" and decim % 2:
@@ -385,6 +425,40 @@ def wire_channelizer_buffers(fmt: str, taps: np.ndarray, decim: int,
     matrix becomes the two anti-diagonal HALVES (2, lanes, P2_pad): see
     `_wire_kernel_ci1`."""
     t = np.asarray(taps, np.float32)
+    if fmt == "cr1":
+        # IF-shifted carriers (off + fs/4 — the (-j)^n downconversion
+        # folded in), unit geometry R rows/unit, anti-diagonal R-way
+        # folded tap matrix (same construction as ci1's halves, R=4 at
+        # the production decim 50).
+        R = _cr1_unit_rows(decim)
+        eff = tuple(o + float(sample_rate) / 4.0 for o in offsets_hz)
+        m, b_h, _, _ = _geometry(t.size, decim, eff, float(sample_rate))
+        m = _cr1_m(m, R)
+        span = m + b_h
+        lanes = decim * R
+        perm = _cr1_unit_perm(decim)
+        span_u = span // R
+        n = np.arange(span_u * lanes, dtype=np.float64)
+        car = np.empty((len(offsets_hz), 2, span_u, lanes), np.float32)
+        for c, off in enumerate(eff):
+            ph = np.remainder(-2.0 * np.pi * (off / sample_rate) * n,
+                              2 * np.pi)
+            cplx = np.exp(1j * ph).reshape(span_u, lanes)[:, perm]
+            car[c, 0] = cplx.real.astype(np.float32)
+            car[c, 1] = cplx.imag.astype(np.float32)
+        p_rows = -(-t.size // decim)
+        h_full = np.zeros((p_rows, decim), np.float32)
+        h_full.flat[: t.size] = t
+        pR = (p_rows + R - 2) // R + 1
+        pR_pad = 8 * -(-pR // 8)
+        inv = np.empty(lanes, np.int64)
+        inv[perm] = np.arange(lanes)
+        g = np.zeros((R, lanes, pR_pad), np.float32)
+        for e in range(R):
+            for p in range(p_rows):
+                u, hh = divmod(e + p, R)
+                g[e, inv[hh * decim : (hh + 1) * decim], u] = h_full[p]
+        return car, g
     m, b_h, p_pad, _ = _geometry(t.size, decim, tuple(offsets_hz),
                                  float(sample_rate))
     span = m + b_h
@@ -513,6 +587,112 @@ def _wire_kernel_ci1(m2: int, bh2: int, p2_pad: int, decim: int,
     return kernel
 
 
+def _wire_kernel_cr1(mR: int, bhR: int, pR_pad: int, R: int, n_chan: int):
+    """cr1 kernel over R-decim-row units: decode 8 bit extracts to ±1
+    REAL samples (lane order matched by the permuted IF carrier/taps),
+    mix against the IF-folded complex carrier (real input: no cross
+    terms), then the polyphase matmul as R anti-diagonal folds — output
+    row j = R*j2+e reads unit rows j2+(e+p)//R with parity-e tap matrix
+    g[e] (wire_channelizer_buffers)."""
+    spanR = mR + bhR
+
+    def kernel(b_m, b_h_ref, car, g, outr, outi):
+        b = jnp.concatenate([b_m[:], b_h_ref[:]], axis=0).astype(jnp.int32)
+        lvl = lambda x: x.astype(jnp.float32) * 2.0 - 1.0  # noqa: E731
+        x = jnp.concatenate(
+            [lvl((b >> s) & 1) for s in (7, 6, 5, 4, 3, 2, 1, 0)], axis=1
+        )  # (spanR, R*decim) real ±1, permuted lanes
+        for c in range(n_chan):
+            mr = x * car[c, 0]
+            mi = x * car[c, 1]
+            for e in range(R):
+                zr = jnp.dot(mr, g[e], preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+                zi = jnp.dot(mi, g[e], preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+                outr[c, e, :] = _collapse(zr.T, pR_pad, spanR)[0, :mR]
+                outi[c, e, :] = _collapse(zi.T, pR_pad, spanR)[0, :mR]
+
+    return kernel
+
+
+def _pallas_wire_channelizer_cr1(
+    raw_u8, phase0s, car_pat, g_mat, *, ntaps, decim, offsets, rate,
+    n_in, interpret,
+):
+    if not wire_channelizer_supported("cr1", ntaps, decim, offsets, rate,
+                                      n_in):
+        raise ValueError("geometry/format unsupported; use the XLA path")
+    R = _cr1_unit_rows(decim)
+    eff = tuple(o + float(rate) / 4.0 for o in offsets)
+    m, b_h, _, _ = _geometry(int(ntaps), int(decim), eff, float(rate))
+    m = _cr1_m(m, R)
+    lanes = decim * R
+    bpr_u = lanes // 8  # wire bytes per unit
+    mR, bhR = m // R, b_h // R
+    spanR = mR + bhR
+    pR_pad = g_mat.shape[-1]
+    n_rows = n_in // decim
+    n_out = n_rows - (-(-ntaps // decim)) + 1
+    n_chan = len(offsets)
+    n_tiles = -(-n_out // m)
+    n_units = n_in // lanes
+    pad_units = n_tiles * mR + bhR
+
+    b2d = raw_u8.reshape(n_units, bpr_u)
+    b2d = jnp.concatenate(
+        [b2d, jnp.zeros((pad_units - n_units, bpr_u), jnp.uint8)], axis=0
+    )
+
+    rot_r = jnp.cos(phase0s)[:, None, None]
+    rot_i = jnp.sin(phase0s)[:, None, None]
+    cr, ci = car_pat[:, 0], car_pat[:, 1]
+    car = jnp.stack(
+        [cr * rot_r - ci * rot_i, cr * rot_i + ci * rot_r], axis=1
+    )  # (n_chan, 2, spanR, lanes)
+
+    tiles_per_m = mR // bhR
+    kernel = _wire_kernel_cr1(mR, bhR, pR_pad, R, n_chan)
+    outr, outi = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((mR, bpr_u), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bhR, bpr_u),
+                lambda i, t=tiles_per_m: (i * t + t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((n_chan, 2, spanR, lanes), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, lanes, pR_pad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_chan, R, mR), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_chan, R, mR), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_chan, R, n_tiles * mR), jnp.float32),
+            jax.ShapeDtypeStruct((n_chan, R, n_tiles * mR), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * pR_pad * lanes * spanR * R * n_chan * n_tiles,
+            bytes_accessed=pad_units * bpr_u
+            + 2 * n_chan * R * n_tiles * mR * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(b2d, b2d, car, g_mat)
+    # Interleave the parity folds: y[c, R*j2+e] = out[c, e, j2].
+    yr = jnp.moveaxis(outr, 1, 2).reshape(n_chan, R * n_tiles * mR)
+    yi = jnp.moveaxis(outi, 1, 2).reshape(n_chan, R * n_tiles * mR)
+    return jax.lax.complex(yr[:, :n_out], yi[:, :n_out])
+
+
 def _pallas_wire_channelizer_ci1(
     raw_u8, phase0s, car_pat, g_mat, *, ntaps, decim, offsets, rate,
     n_in, interpret,
@@ -615,6 +795,11 @@ def pallas_wire_channelizer(
         interpret = jax.default_backend() == "cpu"
     if fmt == "ci1":
         return _pallas_wire_channelizer_ci1(
+            raw_u8, phase0s, car_pat, h_mat, ntaps=ntaps, decim=decim,
+            offsets=offsets, rate=rate, n_in=n_in, interpret=interpret,
+        )
+    if fmt == "cr1":
+        return _pallas_wire_channelizer_cr1(
             raw_u8, phase0s, car_pat, h_mat, ntaps=ntaps, decim=decim,
             offsets=offsets, rate=rate, n_in=n_in, interpret=interpret,
         )

@@ -254,7 +254,7 @@ class MultiProcessWideband:
             n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
         # Same alignment as WidebandReceiver: decim for the channelizer,
         # 4 for the packed wire formats (ci1 needs n_in % 4 == 0).
-        align = int(np.lcm(cfg.decimation, 4))
+        align = int(np.lcm(cfg.decimation, 8))  # must match WidebandReceiver
         n_in = -(-n_in // align) * align
         self.n_in = n_in
         self.n_chan, self.n_blocks, self.core_len = wideband_geometry(cfg, n_in)

@@ -361,8 +361,10 @@ class WidebandReceiver:
             n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
         # The fused channelizer requires decim-aligned input (no padding
         # on device — see freq_xlating_polyphase); the packed wire
-        # formats additionally need n_in % 4 == 0 (ci1: 4 samples/byte).
-        align = int(np.lcm(cfg.decimation, 4))
+        # formats additionally need n_in % 8 == 0 (cr1: 8 samples/byte;
+        # this also satisfies ci1's 4/byte and the fused kernels' unit
+        # geometries, pallas_fir.wire_channelizer_supported).
+        align = int(np.lcm(cfg.decimation, 8))
         n_in = -(-n_in // align) * align
         self.n_in = n_in
         self.n_chan, self.n_blocks, self.core_len = wideband_geometry(cfg, n_in)

@@ -65,17 +65,21 @@ def _remaining() -> float:
     return DEADLINE - time.time()
 
 
-WIRE_FMT = os.environ.get("AIS_TPU_WIRE_FMT", "ci1")
-#   ci1: 1-bit sigma-delta IQ, 4 samples/byte — the ingest link
-#   (~30-50 MB/s tunnel h2d per connection) is the binding constraint,
-#   and the first-order noise shaping (OSR ~ 33 for the AIS band) keeps
-#   the in-band quantization noise ~40 dB under the signal after the
-#   channelizer — content parity stays 1.0 at full load
-#   (ops/convert.py, tests/test_convert_ci1.py).  cr1 is the fs/4-IF
-#   bandpass sigma-delta at 1 bit per complex sample (HALF the ci1
-#   bytes); cd1 is ci1 with delta-coded I/Q planes (more compressible
-#   to the tunnel's transparent h2d compression); ci2 (AGC'd Lloyd-Max)
-#   and ci4 remain for front ends without a sigma-delta path.
+WIRE_FMT = os.environ.get("AIS_TPU_WIRE_FMT", "cr1")
+#   cr1: fs/4-IF bandpass sigma-delta at ONE bit per complex sample —
+#   the ingest link (~30-50 MB/s tunnel h2d per connection) is the
+#   binding constraint, and cr1 halves the bytes of ci1 (8 samples/byte
+#   vs 4) while its noise-shaping notch keeps the in-band quantization
+#   noise out of both AIS channels.  Hardened round 4: full impairment
+#   corpus (tests/test_wire_corpus.py), headroom margin + sensitivity
+#   characterization (WIRE.md), 28 dB near-far envelope
+#   (tests/test_wideband.py), auto-fallback guard
+#   (convert.select_wire_format), and a fused Pallas wire kernel
+#   (bytes -> ±1 -> IF-folded mix -> polyphase in one VMEM pass,
+#   ops/pallas_fir.py) so the halved wire does not trade ingest for
+#   exec.  ci1 (2 bits/sample) remains for sensitivity-critical
+#   deployments below ~18 dB Eb/N0; cd1 is entropy-shaped ci1; ci2/ci4
+#   for front ends without a sigma-delta path.
 
 # Distinct step contents cycled through every window: a real SDR stream
 # never repeats bytes, so the bench must not hand the tunnel the same

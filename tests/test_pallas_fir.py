@@ -127,13 +127,14 @@ class TestKernelParity:
 class TestWireKernelParity:
     """Fused bytes->channels kernel vs XLA convert + channelize."""
 
-    @pytest.mark.parametrize("fmt", ["ci1", "ci2", "ci4"])
+    @pytest.mark.parametrize("fmt", ["ci1", "ci2", "ci4", "cr1"])
     def test_wire_matches_xla_convert_plus_chan(self, fmt):
         from ais_tpu.ops.convert import (
             host_bytes,
             iq_from_bytes_ci1,
             iq_from_bytes_ci2,
             iq_from_bytes_ci4,
+            iq_from_bytes_cr1,
         )
         from ais_tpu.ops.pallas_fir import (
             pallas_wire_channelizer,
@@ -156,6 +157,7 @@ class TestWireKernelParity:
             "ci1": iq_from_bytes_ci1,
             "ci2": iq_from_bytes_ci2,
             "ci4": iq_from_bytes_ci4,
+            "cr1": lambda raw: iq_from_bytes_cr1(raw, n_in),
         }[fmt]
         # Ground truth: XLA decode then XLA channelize on the SAME
         # quantized samples.
