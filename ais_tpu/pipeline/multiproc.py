@@ -74,7 +74,7 @@ def _worker_main(cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q):
         # N clients sharing one chip must not each claim the default
         # ~75% of HBM (client init reads these at first device use).
         os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
-        os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.2")
+        os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.12")
         import jax
 
         if platform is not None:
