@@ -49,7 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
         "-F",
         "--format",
         default="complex64",
-        choices=["complex64", "cf32", "ci16", "cs16", "ci8", "cs8", "cu8", "ci4", "ci2", "ci1"],
+        choices=["complex64", "cf32", "ci16", "cs16", "ci8", "cs8", "cu8", "ci4", "ci2", "ci1", "cr1"],
         help="IQ sample format of the source [default=%(default)s]",
     )
     p.add_argument("--repeat", action="store_true", help="loop a file source")
@@ -98,7 +98,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     if isinstance(src, FileSource):
         src.repeat = options.repeat
-    if options.format in ("ci2", "ci1") and options.rate < 100e3:
+    if options.format in ("ci2", "ci1", "cr1") and options.rate < 100e3:
         print(
             f"warning: {options.format} needs the channelizer's processing "
             "gain; at channel-rate input the quantization noise lands "

@@ -38,6 +38,11 @@ _FORMATS = {
     # Same processing-gain requirement as ci2, but stricter: the noise
     # shaping assumes a high oversampling ratio (wideband rates only).
     "ci1": (np.uint8, 1),
+    # 1-bit fs/4-IF bandpass sigma-delta, 8 samples/byte — ONE bit per
+    # complex sample (ops/convert.py cr1 layout).  Wideband rates only;
+    # chunk boundaries land on whole bytes (8 samples), preserving the
+    # (-j)^n IF phase (period 4).
+    "cr1": (np.uint8, 1),
 }
 
 
@@ -47,6 +52,8 @@ def _bytes_per_sample(fmt: str) -> float:
         return 0.5
     if fmt == "ci1":
         return 0.25
+    if fmt == "cr1":
+        return 0.125
     dtype, lanes = _FORMATS[fmt]
     return float(np.dtype(dtype).itemsize * lanes)
 
@@ -80,6 +87,14 @@ def _convert(raw: np.ndarray, fmt: str) -> np.ndarray:
         # host mirror of ops/convert.py:iq_from_bytes_ci1).
         bits = np.unpackbits(raw.astype(np.uint8)).astype(np.float32) * 2.0 - 1.0
         return (bits[0::2] + 1j * bits[1::2]).astype(np.complex64)
+    if fmt == "cr1":
+        # 8 real samples/byte at an fs/4 IF: ±1 levels downconverted by
+        # (-j)^n (the host mirror of ops/convert.py:iq_from_bytes_cr1).
+        r = np.unpackbits(raw.astype(np.uint8)).astype(np.float32) * 2.0 - 1.0
+        n4 = -(-r.size // 4)
+        re = np.tile(np.array([1.0, 0.0, -1.0, 0.0], np.float32), n4)[: r.size]
+        im = np.tile(np.array([0.0, -1.0, 0.0, 1.0], np.float32), n4)[: r.size]
+        return (r * re + 1j * (r * im)).astype(np.complex64)
     try:
         from ais_tpu.native import iq_convert  # C++ fast path
 

@@ -196,6 +196,17 @@ class TestIo:
         w1 = read_iq_file(p1, "ci1")
         np.testing.assert_allclose(w1, np.asarray(iq_from_bytes_ci1(wire1)), atol=1e-6)
 
+        # cr1 host read mirrors the on-device IF-downconverting decode.
+        from ais_tpu.ops.convert import iq_from_bytes_cr1
+
+        wirer = host_bytes(iq, "cr1")
+        pr = tmp_path / "a.cr1"
+        wirer.tofile(pr)
+        wr = read_iq_file(pr, "cr1")
+        np.testing.assert_allclose(
+            wr, np.asarray(iq_from_bytes_cr1(wirer, iq.size)), atol=1e-6
+        )
+
     def test_open_source_dispatch(self, tmp_path):
         f = tmp_path / "x.iq"
         f.write_bytes(b"\0" * 8)
