@@ -1,0 +1,280 @@
+"""GRC flowgraph import: map a gr-ais flowgraph onto ais_tpu configs.
+
+The reference ships GNU Radio Companion flowgraphs
+(reference: python/ais.grc, python/ais_demod2.grc) whose DSP topology is
+exactly the chain this package implements.  `load_flowgraph` parses the
+GRC 3.7 XML, `flowgraph_to_config` maps the recognized blocks onto a
+`ReceiverConfig` (+ source/runtime hints), so a gr-ais user can carry
+their authored flowgraph across:
+
+    cfg, info = flowgraph_to_config("ais.grc")
+    rx = ChannelReceiver(cfg, target_sps=info["target_sps"])
+
+Import semantics are FAITHFUL: the produced config reproduces the
+flowgraph's behavior (PLL timing when `digital_msk_timing_recovery_cc`
+is present, ungated AFC, no CFAR — the reference blocks have none of
+the TPU-native upgrades), and every unmapped non-cosmetic block lands
+in `info["warnings"]` rather than being silently dropped.  Long-frame
+deframer bounds (ais.grc runs hdlc_deframer_bp(11, 1000),
+python/ais.grc:1229) scale the burst geometry through
+`demod_for_max_frame` automatically.
+
+Block map (reference file:line refers to the generated python twins):
+  satisfi_square_and_fft_sync   -> DemodConfig.fftlen, ungated AFC
+                                   (python/gmsk_sync.py:14-37)
+  analog_feedforward_agc_cc     -> agc_window / agc_reference
+                                   (python/ais_demod.py:35)
+  digital_msk_correlate_cc      -> gmsk_bt (+ preamble, fixed by spec)
+                                   (lib/corr_est_cc_impl.cc)
+  digital_msk_timing_recovery_cc-> timing_mode="pll", clockrec_gain,
+                                   omega_relative_limit
+                                   (lib/msk_timing_recovery_cc_impl.cc)
+  quadrature_demod/slicer/diff/ais_invert -> demod_mode="discriminator"
+  digital_hdlc_deframer_bp      -> DeframerConfig(min, max) + scaled
+                                   burst geometry
+  pfb_arb_resampler_xxx         -> resample-to-integer-sps topology
+                                   (ChannelReceiver's default)
+  blocks_file_source / osmosdr_source / udp source -> info["source"]
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import operator
+import xml.etree.ElementTree as ET
+
+from ais_tpu.core.params import (
+    ChannelizerConfig,
+    DeframerConfig,
+    DemodConfig,
+    ReceiverConfig,
+    demod_for_max_frame,
+)
+
+# Blocks that only display/discard data: their absence never changes the
+# decoded packet stream.
+_COSMETIC = {
+    "options", "import", "note", "variable",
+    "blocks_null_sink", "blocks_message_debug", "blocks_char_to_float",
+    "qtgui_const_sink_x", "qtgui_time_sink_x", "qtgui_freq_sink_x",
+    "qtgui_waterfall_sink_x", "wxgui_scopesink2", "wxgui_fftsink2",
+    "blocks_throttle",
+}
+
+_OPS = {
+    ast.Add: operator.add, ast.Sub: operator.sub,
+    ast.Mult: operator.mul, ast.Div: operator.truediv,
+    ast.Pow: operator.pow, ast.USub: operator.neg,
+}
+
+
+def _eval_expr(text: str, variables: dict):
+    """Safely evaluate a GRC parameter expression (numbers, + - * / **,
+    variable references, lists).  Returns None for anything beyond that
+    (e.g. firdes.* calls) — callers treat None as 'use our default'."""
+    try:
+        tree = ast.parse(text.strip(), mode="eval")
+    except SyntaxError:
+        return None
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant) and isinstance(
+            node.value, (int, float, bool, str)
+        ):
+            return node.value
+        if isinstance(node, ast.Name):
+            if node.id in variables:
+                return variables[node.id]
+            raise ValueError(node.id)
+        if isinstance(node, ast.BinOp) and type(node.op) in _OPS:
+            return _OPS[type(node.op)](ev(node.left), ev(node.right))
+        if isinstance(node, ast.UnaryOp) and type(node.op) in _OPS:
+            return _OPS[type(node.op)](ev(node.operand))
+        if isinstance(node, ast.List):
+            return [ev(e) for e in node.elts]
+        raise ValueError(ast.dump(node))
+
+    try:
+        return ev(tree)
+    except Exception:  # noqa: BLE001 — unsupported expression
+        return None
+
+
+def load_flowgraph(path: str) -> dict:
+    """Parse a GRC 3.7 XML flowgraph into
+    {"variables", "blocks": [{"key", "params"}], "connections"}."""
+    root = ET.parse(path).getroot()
+    variables: dict = {}
+    blocks = []
+    for b in root.iter("block"):
+        key = b.findtext("key")
+        params = {p.findtext("key"): p.findtext("value")
+                  for p in b.findall("param")}
+        if key == "variable":
+            val = _eval_expr(params.get("value", ""), variables)
+            if val is not None:
+                variables[params.get("id", "")] = val
+            continue
+        blocks.append({"key": key, "params": params})
+    connections = [
+        (c.findtext("source_block_id"), c.findtext("sink_block_id"))
+        for c in root.iter("connection")
+    ]
+    return {"variables": variables, "blocks": blocks,
+            "connections": connections}
+
+
+def _enabled(blk: dict) -> bool:
+    return blk["params"].get("_enabled", "True") not in ("False", "0")
+
+
+def flowgraph_to_config(path: str) -> tuple[ReceiverConfig, dict]:
+    """Map a gr-ais flowgraph onto (ReceiverConfig, info).
+
+    info: {"source": {...} | None, "target_sps": int, "warnings": [...],
+    "variables": {...}}.  Raises ValueError when the flowgraph contains
+    none of the AIS chain's blocks (probably not an AIS flowgraph).
+    """
+    fg = load_flowgraph(path)
+    variables = fg["variables"]
+    warnings: list[str] = []
+    by_key: dict[str, list[dict]] = {}
+    for blk in fg["blocks"]:
+        if _enabled(blk):
+            by_key.setdefault(blk["key"], []).append(blk)
+
+    def param(key: str, name: str, default=None):
+        blks = by_key.get(key)
+        if not blks:
+            return default
+        val = _eval_expr(blks[0]["params"].get(name, ""), variables)
+        return default if val is None else val
+
+    chain_keys = {
+        "satisfi_square_and_fft_sync", "ais_square_and_fft_sync_cc",
+        "digital_msk_correlate_cc", "digital_msk_timing_recovery_cc",
+        "digital_hdlc_deframer_bp", "analog_feedforward_agc_cc",
+    }
+    if not (chain_keys & set(by_key)):
+        raise ValueError(
+            f"{path}: no gr-ais chain blocks found "
+            f"(have: {sorted(set(by_key))})"
+        )
+
+    samp_rate = float(variables.get("samp_rate", 250e3))
+    sps = int(variables.get("sps", 5))
+
+    demod = DemodConfig()
+    updates: dict = {}
+    if ("satisfi_square_and_fft_sync" in by_key
+            or "ais_square_and_fft_sync_cc" in by_key):
+        key = ("satisfi_square_and_fft_sync"
+               if "satisfi_square_and_fft_sync" in by_key
+               else "ais_square_and_fft_sync_cc")
+        updates["fftlen"] = int(param(key, "fftlen", demod.fftlen))
+        # The reference AFC is ungated (python/gmsk_sync.py re-rasterizes
+        # every estimate); faithful import keeps that.
+        updates["afc_gate_ratio"] = None
+    if "analog_feedforward_agc_cc" in by_key:
+        updates["agc_window"] = int(
+            param("analog_feedforward_agc_cc", "num_samples",
+                  demod.agc_window)
+        )
+        updates["agc_reference"] = float(
+            param("analog_feedforward_agc_cc", "reference",
+                  demod.agc_reference)
+        )
+    if "digital_msk_correlate_cc" in by_key:
+        updates["gmsk_bt"] = float(
+            param("digital_msk_correlate_cc", "bt", demod.gmsk_bt)
+        )
+        # corr_est_cc's default threshold; no CFAR in the reference.
+        updates["corr_threshold"] = 0.9
+        updates["corr_cfar_k"] = None
+    if "digital_msk_timing_recovery_cc" in by_key:
+        updates["timing_mode"] = "pll"
+        updates["clockrec_gain"] = float(
+            param("digital_msk_timing_recovery_cc", "gain",
+                  demod.clockrec_gain)
+        )
+        updates["omega_relative_limit"] = float(
+            param("digital_msk_timing_recovery_cc", "limit",
+                  demod.omega_relative_limit)
+        )
+    updates["samples_per_symbol"] = float(sps)
+    demod = dataclasses.replace(demod, **updates)
+
+    deframer = DeframerConfig()
+    if "digital_hdlc_deframer_bp" in by_key:
+        deframer = DeframerConfig(
+            min_length_bytes=int(param("digital_hdlc_deframer_bp", "min",
+                                       deframer.min_length_bytes)),
+            max_length_bytes=int(param("digital_hdlc_deframer_bp", "max",
+                                       deframer.max_length_bytes)),
+        )
+    if deframer.max_length_bytes > demod.max_frame_bytes:
+        # ais.grc runs hdlc_deframer_bp(11, 1000): scale the burst
+        # geometry so the bound is real, not inert (core/params.py).
+        demod = demod_for_max_frame(deframer.max_length_bytes, demod)
+        warnings.append(
+            f"deframer max_length_bytes={deframer.max_length_bytes} "
+            f"scaled burst_len to {demod.burst_len}; pass a block_len "
+            f"comfortably above burst_len + halo to the receiver"
+        )
+
+    # Source hints (the flowgraph's input side).
+    source = None
+    if "blocks_file_source" in by_key:
+        blk = by_key["blocks_file_source"][0]["params"]
+        source = {"kind": "file", "path": blk.get("file", ""),
+                  "repeat": blk.get("repeat") == "True",
+                  "format": "complex64"}
+    elif "osmosdr_source" in by_key:
+        blk = by_key["osmosdr_source"][0]["params"]
+        source = {
+            "kind": "osmosdr",
+            "freq_hz": _eval_expr(blk.get("freq0", ""), variables),
+            "ppm": _eval_expr(blk.get("corr0", "0"), variables),
+            "gain_db": _eval_expr(blk.get("gain0", "0"), variables),
+            "args": blk.get("args", ""),
+        }
+    elif "uhd_usrp_source" in by_key:
+        blk = by_key["uhd_usrp_source"][0]["params"]
+        source = {"kind": "uhd", "args": blk.get("dev_args", "")}
+
+    # Channel offset: flowgraphs that tune straight to a channel (ais.grc
+    # tunes 161.975 MHz) decode at offset 0; the dual-channel app uses
+    # the with_offset factory instead.
+    offset_hz = 0.0
+    config = ReceiverConfig(
+        channelizer=ChannelizerConfig(
+            input_rate=samp_rate, offset_hz=offset_hz
+        ),
+        demod=demod,
+        deframer=deframer,
+        designator="A",
+    )
+
+    handled = (
+        _COSMETIC
+        | chain_keys
+        | {
+            "blocks_file_source", "osmosdr_source", "uhd_usrp_source",
+            "pfb_arb_resampler_xxx", "analog_quadrature_demod_cf",
+            "digital_binary_slicer_fb", "digital_diff_decoder_bb",
+            "ais_invert", "ais_pdu_to_nmea", "blocks_udp_source",
+        }
+    )
+    for key in sorted(set(by_key) - handled):
+        warnings.append(f"unmapped block {key!r} (ignored)")
+
+    info = {
+        "source": source,
+        "target_sps": sps,
+        "warnings": warnings,
+        "variables": variables,
+    }
+    return config, info

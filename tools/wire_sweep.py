@@ -95,10 +95,16 @@ def _parity(found, tx_packets, decim):
 
 def _reset(rx):
     """Rewind a WidebandReceiver's stream state so the SAME compiled
-    programs decode an independent capture (fresh dedupers, pos 0)."""
+    programs decode an independent capture (fresh dedupers, pos 0, and
+    an EMPTY sample buffer — decode() leaves the overlap-save halo in
+    _buf, which would corrupt the next trial's mixer-phase/position
+    accounting and biased the float column low in earlier sweeps)."""
+    import numpy as _np
+
     from ais_tpu.pipeline.host import PacketDeduper
 
     rx._pos = 0
+    rx._buf = _np.zeros(0, dtype=_np.complex64)
     rx._dedupers = [PacketDeduper() for _ in rx.cfg.offsets_hz]
     return rx
 
@@ -170,7 +176,7 @@ def main() -> int:
 
     raw = aivdm_payload_to_bytes("14eG;o@034o8sd<L9i:a;WF>062D")
     AMP, SPB = 0.5, 250.0
-    trials = 4 if args.fast else 10
+    trials = 4 if args.fast else 25
     ebn0s = (10.0, 12.0, 14.0, 16.0, 20.0)
     fmts = ("float", "ci1", "cr1")
     sens_rows = []
