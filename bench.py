@@ -239,7 +239,8 @@ def _geometry():
     # lift the exec ceiling (310 -> 580 Msps exec-only from 16 -> 64
     # blocks); with the batched host decode the back half no longer
     # penalizes large fetches.
-    n48 = cfg.block_len + cfg.core_len * 63
+    n_blocks = int(os.environ.get("AIS_TPU_BENCH_BLOCKS", "64"))
+    n48 = cfg.block_len + cfg.core_len * (n_blocks - 1)
     n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
     return cfg, n_in
 

@@ -305,10 +305,10 @@ def main() -> int:
             f"low SNR, and one second-order notch covers both channels "
             f"where ci1 runs two independent low-pass loops).  The "
             f"operating-point context: the reference-faithful chain's own "
-            f"measured floor is Eb/N0 = 20 dB (BER.md) — at and above "
-            f"that point every wire format decodes 1.00, so the 1-bit "
-            f"wires do not lower the parity-claim operating point; they "
-            f"do narrow the margin below it.  Sensitivity-critical "
+            f"measured floor is Eb/N0 = 20 dB (BER.md) — cr1's ≥95% "
+            f"floor coincides with it, and float/ci1 sit 4 dB below, so "
+            f"the 1-bit wires do not lower the parity-claim operating "
+            f"point; cr1 does spend the margin beneath it.  Sensitivity-critical "
             f"deployments below ~18 dB should prefer ci1 (2 bits/sample) "
             f"over cr1, or the linear formats.\n"
         )
