@@ -80,7 +80,7 @@ void sigma_delta_ci1(const float* iq, int64_t n_complex, float scale,
 // discipline as sigma_delta_ci1).  Trailing bits of the last byte (when
 // n_complex % 8 != 0) are zero-padded.
 void sigma_delta_cr1(const float* iq, int64_t n_complex, float scale,
-                     uint8_t* out) {
+                     float a2, uint8_t* out) {
   float e1 = 0.0f, e2 = 0.0f, e3 = 0.0f, e4 = 0.0f;
   int64_t n_bytes = (n_complex + 7) / 8;
   for (int64_t b = 0; b < n_bytes; ++b) {
@@ -96,7 +96,7 @@ void sigma_delta_cr1(const float* iq, int64_t n_complex, float scale,
           case 2: x = -iq[2 * s]; break;
           default: x = iq[2 * s + 1]; break;
         }
-        float si = x * scale - 2.0f * e2 - e4;
+        float si = x * scale - a2 * e2 - e4;
         bit = si >= 0.0f;
         float e0 = si - (bit ? 1.0f : -1.0f);
         if (e0 > 4.0f) e0 = 4.0f; else if (e0 < -4.0f) e0 = -4.0f;
