@@ -50,7 +50,8 @@ SLOT_SAMPLES_2P4M = 64000  # 26.67 ms AIS TDMA slot at 2.4 Msps
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE_DIR = os.path.join(REPO, ".jax_cache")
 BENCH_CACHE = os.path.join(REPO, ".bench_cache")
-SCENE_VERSION = "v1"  # bump when _scene / encoder constants change
+SCENE_VERSION = "v2"  # bump when _scene / encoder constants change
+# v2: cr1 encoder NTF zeros split onto the two channels (CR1_A2)
 
 # Wall-clock budget for the WHOLE bench (parent + children).  The
 # driver's own timeout killed round 3's run (BENCH_r03.json rc=124), so
