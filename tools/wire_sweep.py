@@ -301,13 +301,13 @@ def main() -> int:
             f"\nMeasured ≥95%-success floors: float {floor_of('float')}, "
             f"ci1 {floor_of('ci1')}, cr1 {floor_of('cr1')}.  cr1 pays a "
             f"real AWGN penalty near the discriminator chain's decode "
-            f"floor, and it is a SCALE effect, not a notch-depth effect: "
-            f"the split-zero NTF (CR1_A2, zeros on the two channels, "
-            f"~7 dB less in-band quantization noise) left every "
-            f"sensitivity trial outcome unchanged while lifting full-load "
-            f"parity to min 1.000 — at low SNR the peak-referenced scale "
-            f"is set by noise peaks, shrinking the signal inside the "
-            f"quantizer, which no notch can recover.  The "
+            f"floor, and it is intrinsic to the 1-bit/complex-sample rate, "
+            f"not an encoder-tuning artifact: the split-zero NTF (CR1_A2, "
+            f"zeros on the two channels, ~7 dB less in-band quantization "
+            f"noise) left every sensitivity trial outcome unchanged while "
+            f"lifting full-load parity to min 1.000, and a scale sweep "
+            f"(headroom 0.6→6.0 at Eb/N0 14-16 dB) was flat-to-worse — "
+            f"neither notch depth nor quantizer scale moves the floor.  The "
             f"operating-point context: the reference-faithful chain's own "
             f"measured floor is Eb/N0 = 20 dB (BER.md) — cr1's ≥95% "
             f"floor coincides with it, and float/ci1 sit 4 dB below, so "
