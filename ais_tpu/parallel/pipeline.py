@@ -41,6 +41,10 @@ def make_sharded_demod(
         mesh=mesh,
         in_specs=P(time_axis),
         out_specs=P(time_axis),
+        # pallas_call outputs can't declare varying-across-mesh types, so
+        # the vma check rejects the TPU kernel path; correctness is covered
+        # by the bit-identity tests in test_parallel.py.
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -98,7 +102,8 @@ def make_halo_exchange_demod(
         return demod(from_planes(ext[idx]))  # (local, block_len) complex
 
     sharded = shard_map(
-        fn, mesh=mesh, in_specs=P(time_axis), out_specs=P(time_axis)
+        fn, mesh=mesh, in_specs=P(time_axis), out_specs=P(time_axis),
+        check_vma=False,  # see make_sharded_demod
     )
     return jax.jit(sharded)
 
@@ -119,5 +124,6 @@ def make_sharded_stream_demod(
         mesh=mesh,
         in_specs=P(stream_axis, time_axis),
         out_specs=P(stream_axis, time_axis),
+        check_vma=False,  # see make_sharded_demod
     )
     return jax.jit(fn)
