@@ -9,8 +9,8 @@ link itself has more headroom: concurrent client connections aggregate
 to ~80 MB/s (2 procs) / ~103 MB/s (3 procs).
 
 `MultiProcessWideband` therefore fans the overlap-save stream steps
-round-robin over N worker processes, each owning a private device
-connection and a full `WidebandReceiver`.  Correctness needs no
+over N worker processes pulling from one shared queue, each owning a
+private device connection and a full `WidebandReceiver`.  Correctness needs no
 cross-worker coordination: every step covers exactly `n_in` raw samples
 and advances by `step_raw`, a packet belongs to the step whose core
 holds its preamble (the same exactly-once ownership rule the
@@ -114,9 +114,17 @@ def _worker_main(cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q):
         except Exception:  # noqa: BLE001 — probe is informational only
             pass
         del probe
-        # Warm-up (compile / persistent-cache load) runs unlocked: it is
-        # a one-time cost and serializing it would stack N compiles
-        # end-to-end (prohibitive on the CPU backend's ~60 s compile).
+        # Warm-up (compile / persistent-cache load) runs unlocked and
+        # BEFORE ready: it is a one-time cost, serializing it would stack
+        # N compiles end-to-end (prohibitive on the CPU backend's ~60 s
+        # compile), and deferring it to the first submitted step would
+        # charge it to the caller's first measured window while HOLDING
+        # the exec lock (measured: 6 workers x ~28 s serialized).  A
+        # zeros wire keeps the warmup h2d/host halves near-free.
+        try:
+            rx.decode_wire(np.zeros(wire_nbytes, dtype=np.uint8), fmt)
+        except Exception:  # noqa: BLE001 — warmup is an optimization only
+            pass
         out_q.put(("ready", None, {"h2d_mbps": h2d_mbps}))
 
         def stage(item):
@@ -275,7 +283,15 @@ class MultiProcessWideband:
         # named semaphore — a child still unpickling its args then dies
         # with FileNotFoundError during SemLock._rebuild.
         self._exec_lock = exec_lock
-        self._in_qs = [ctx.Queue() for _ in range(n_workers)]
+        # ONE shared input queue, workers PULL when free: the tunnel's
+        # per-connection h2d bandwidth is wildly uneven minute-to-minute
+        # (measured spread 12-713 MB/s across 6 simultaneous
+        # connections), so pre-assigning step i to worker i%N gates
+        # throughput on the slowest connection's fixed share; with a
+        # pull queue fast connections simply take more steps.  Packet
+        # ordering is restored in collect() (position sort), so steps
+        # need no worker affinity.
+        self._in_q = ctx.Queue()
         self._out_q = ctx.Queue()
         self._procs = [
             ctx.Process(
@@ -287,12 +303,12 @@ class MultiProcessWideband:
                     platform,
                     cache_dir,
                     exec_lock,
-                    self._in_qs[w],
+                    self._in_q,
                     self._out_q,
                 ),
                 daemon=True,
             )
-            for w in range(n_workers)
+            for _ in range(n_workers)
         ]
         self._outstanding = 0
         # Aggregated worker phase split, summed over collected steps:
@@ -327,8 +343,8 @@ class MultiProcessWideband:
             ready += 1
 
     def submit(self, step_idx: int, wire: np.ndarray) -> None:
-        """Enqueue one wire step (round-robin by step index)."""
-        self._in_qs[step_idx % self.n_workers].put((step_idx, wire))
+        """Enqueue one wire step (any free worker picks it up)."""
+        self._in_q.put((step_idx, wire))
         self._outstanding += 1
 
     def collect(self, n: int | None = None, timeout: float = 600.0):
@@ -389,8 +405,8 @@ class MultiProcessWideband:
             self.collect_stats[key] = 0 if key in ("steps", "wire_bytes") else 0.0
 
     def close(self) -> None:
-        for q in self._in_qs:
-            q.put(None)
+        for _ in self._procs:
+            self._in_q.put(None)  # one shutdown sentinel per worker
         for p in self._procs:
             p.join(timeout=30)
             if p.is_alive():
