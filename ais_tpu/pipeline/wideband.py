@@ -88,16 +88,32 @@ class WireRecords(NamedTuple):
     the demodulator applies), so the host never needs the chunk table.
     """
 
-    meta_i: jax.Array  # (C, B, K, 4) i32: position, win_start, valid,
-                       #   n_detected (broadcast per block)
+    meta_i: jax.Array  # (C, B, K, 4|6) i32: position, win_start, valid,
+                       #   n_detected (broadcast per block); with
+                       #   valid_as_run two more: bit_valid run
+                       #   (first, count)
     meta_f: jax.Array  # (C, B, K, 3) f32: corr mag^2, freq_est_hz,
                        #   pre-AGC rssi (mean |x|^2 over the burst window)
     packed: jax.Array  # (C, B, K, 2, ceil(n_sym/8)) u8: [0] bits,
-                       #   [1] bit_valid, MSB-first within each byte
+                       #   [1] bit_valid, MSB-first within each byte —
+                       #   or (C, B, K, 1, n_pack) bits only when the
+                       #   valid mask rides in meta_i (valid_as_run)
 
 
-def pack_wire_records(rec: BurstRecords, fftlen: int) -> WireRecords:
-    """Device-side compaction of BurstRecords (leading dims preserved)."""
+def pack_wire_records(
+    rec: BurstRecords, fftlen: int, valid_as_run: bool = False
+) -> WireRecords:
+    """Device-side compaction of BurstRecords (leading dims preserved).
+
+    With `valid_as_run`, the bit_valid plane is replaced by two int32
+    meta columns `(first, count)`: every demod mode derives sym_valid
+    from monotonically-advancing symbol positions tested against the
+    window bounds (sync/feedforward.py:228, sync/timing.py:38,
+    sync/mlse.py:219), so the mask is a contiguous run by construction
+    and the run form is LOSSLESS.  It halves the packed payload — on
+    the tunnel backend's ~7-10 MB/s d2h that is the worker cycle's
+    third-largest term (VERDICT r3 task 2's d2h right-sizing,
+    continued)."""
     n_sym = rec.bits.shape[-1]
     n_pack = -(-n_sym // 8)
     pad = n_pack * 8 - n_sym
@@ -113,24 +129,29 @@ def pack_wire_records(rec: BurstRecords, fftlen: int) -> WireRecords:
         # Minor-axis (len 8) weighted reduce: backend-safe (ARCH §4).
         return jnp.sum(x * weights, axis=-1).astype(jnp.uint8)
 
-    packed = jnp.stack([pack(rec.bits), pack(rec.bit_valid)], axis=-2)
+    if valid_as_run:
+        packed = pack(rec.bits)[..., None, :]  # (..., 1, n_pack)
+    else:
+        packed = jnp.stack([pack(rec.bits), pack(rec.bit_valid)], axis=-2)
     n_chunks = rec.freq_est.shape[-1]
     chunk = jnp.clip(rec.position // fftlen, 0, n_chunks - 1)  # (..., K)
     onehot = (
         chunk[..., None] == jnp.arange(n_chunks, dtype=jnp.int32)
     ).astype(jnp.float32)
     freq = jnp.sum(onehot * rec.freq_est[..., None, :], axis=-1)
-    meta_i = jnp.stack(
-        [
-            rec.position,
-            rec.win_start,
-            rec.valid.astype(jnp.int32),
-            jnp.broadcast_to(rec.n_detected[..., None], rec.position.shape).astype(
-                jnp.int32
-            ),
-        ],
-        axis=-1,
-    )
+    cols = [
+        rec.position,
+        rec.win_start,
+        rec.valid.astype(jnp.int32),
+        jnp.broadcast_to(rec.n_detected[..., None], rec.position.shape).astype(
+            jnp.int32
+        ),
+    ]
+    if valid_as_run:
+        bv = rec.bit_valid.astype(jnp.int32)
+        cols.append(jnp.argmax(bv, axis=-1).astype(jnp.int32))  # first (0 if none)
+        cols.append(jnp.sum(bv, axis=-1))                       # count
+    meta_i = jnp.stack(cols, axis=-1)
     meta_f = jnp.stack([rec.mag, freq, rec.rssi], axis=-1)
     return WireRecords(meta_i, meta_f, packed)
 
@@ -141,12 +162,15 @@ def pack_wire_flat(rec: BurstRecords, fftlen: int) -> jax.Array:
     The tunnel backend charges ~30 ms latency per d2h transfer; three
     record tensors = three round trips.  Decomposing the int32/float32
     meta into little-endian bytes on device (shift+mask; float32 via a
-    same-width bitcast) and concatenating with the packed bit planes
-    makes the whole fetch a single transfer.  Layout:
-      [meta_i as (C*B*K*4) le-i32 bytes][meta_f as (C*B*K*3) le-f32
-      bytes][packed (C*B*K*2*n_pack)].
+    same-width bitcast) and concatenating with the packed bit plane
+    makes the whole fetch a single transfer.  The bit_valid plane rides
+    as a (first, count) run in meta_i (lossless — see
+    pack_wire_records); unpack_wire_flat rebuilds the plane host-side
+    so every consumer of the 2-plane layout is unchanged.  Layout:
+      [meta_i as (C*B*K*6) le-i32 bytes][meta_f as (C*B*K*3) le-f32
+      bytes][bits plane (C*B*K*n_pack)].
     """
-    w = pack_wire_records(rec, fftlen)
+    w = pack_wire_records(rec, fftlen, valid_as_run=True)
 
     def le_bytes(x_i32: jax.Array) -> jax.Array:
         # Arithmetic >> then &255 extracts exact two's-complement bytes.
@@ -162,15 +186,24 @@ def pack_wire_flat(rec: BurstRecords, fftlen: int) -> jax.Array:
 def unpack_wire_flat(
     buf: np.ndarray, C: int, B: int, K: int, n_pack: int
 ) -> WireRecords:
-    """Host-side inverse of `pack_wire_flat` (numpy views, no copies
-    beyond the frombuffer)."""
+    """Host-side inverse of `pack_wire_flat`.
+
+    Rebuilds the bit_valid plane from its (first, count) run columns
+    (vectorized packbits over ~0.35 MB of bools, ~1 ms) and returns the
+    standard 2-plane WireRecords, so decode_wire_records and the native
+    batched deframer read the same layout as always."""
     buf = np.asarray(buf, dtype=np.uint8)
-    ni = C * B * K * 4 * 4
+    ni = C * B * K * 6 * 4
     nf = C * B * K * 3 * 4
-    meta_i = np.frombuffer(buf[:ni].tobytes(), "<i4").reshape(C, B, K, 4)
+    meta_i = np.frombuffer(buf[:ni].tobytes(), "<i4").reshape(C, B, K, 6)
     meta_f = np.frombuffer(buf[ni : ni + nf].tobytes(), "<f4").reshape(C, B, K, 3)
-    packed = buf[ni + nf :].reshape(C, B, K, 2, n_pack)
-    return WireRecords(meta_i, meta_f, packed)
+    bits = buf[ni + nf :].reshape(C, B, K, 1, n_pack)
+    first = meta_i[..., 4:5]                      # (C, B, K, 1)
+    count = meta_i[..., 5:6]
+    idx = np.arange(n_pack * 8, dtype=np.int32)
+    mask = (idx >= first) & (idx < first + count)  # (C, B, K, n_pack*8)
+    vplane = np.packbits(mask, axis=-1).reshape(C, B, K, 1, n_pack)
+    return WireRecords(meta_i, meta_f, np.concatenate([bits, vplane], axis=-2))
 
 
 def channelizer_mode(cfg: WidebandConfig, n_in: int) -> str:

@@ -397,10 +397,15 @@ def measure(backend: str) -> int:
                 pending.append(submit())
         return time.time() - t0, pkts, host_s
 
-    # Budget reserves: the fan phase needs worker warmup (~60-120 s on a
-    # warm executable cache) plus its windows; below the reserve we skip
-    # ahead so SOMETHING measured is always emitted.
-    fan_reserve = 420.0 if backend == "tpu" else 0.0
+    # Budget reserves: the fan phase needs worker warmup plus its
+    # windows; below the reserve we skip ahead so SOMETHING measured is
+    # always emitted.  Workers warm CONCURRENTLY before reporting ready
+    # (multiproc.py: h2d probe + zeros-wire decode, ~90-150 s total on a
+    # warm executable cache), so the reserve is sized to warmup + one
+    # window + slack — a tunnel-side recompile stall in the
+    # single-process phase (measured once at 578 s) must not starve the
+    # fan, which is where the headline number comes from.
+    fan_reserve = 300.0 if backend == "tpu" else 0.0
 
     sp_windows: list[float] = []  # per-window msps
     best = None  # (dt, pkts, host_s, depth, split)
@@ -443,7 +448,7 @@ def measure(backend: str) -> int:
     # slots; 6 covers the cycle with margin while the aggregate link cap
     # (~78 MB/s) still clears 6 steps/cycle.
     fan_workers = int(os.environ.get("AIS_TPU_FAN_WORKERS", "6"))
-    if backend == "tpu" and _remaining() > 240:
+    if backend == "tpu" and _remaining() > 200:
         try:
             from ais_tpu.pipeline.multiproc import MultiProcessWideband
 
@@ -454,7 +459,9 @@ def measure(backend: str) -> int:
                 fmt=WIRE_FMT,
                 cache_dir=CACHE_DIR,
             )
+            t_fan = time.time()
             fan.start(timeout=max(60.0, min(900.0, _remaining() - 60)))
+            fan_start_s = round(time.time() - t_fan, 1)
             fan_h2d = list(fan.h2d_mbps)
             fan_windows: list[float] = []
             fan_best = None
@@ -473,6 +480,16 @@ def measure(backend: str) -> int:
                     # Emit after every fan window: each may beat the last.
                     fan_msps = max(fan_windows)
                     fs = sorted(fan_windows)
+                    fan_detail = {
+                        "fan_msps": round(fan_msps, 2),
+                        "fan_median_msps": round(fs[len(fs) // 2], 2),
+                        "fan_window_msps": [
+                            round(v, 1) for v in fan_windows
+                        ],
+                        "fan_collect_split": _split(fan_best[1]),
+                        "fan_h2d_mbps_per_conn": fan_h2d,
+                        "fan_start_s": fan_start_s,
+                    }
                     if fan_msps > msps:
                         _emit(
                             _result(
@@ -481,24 +498,24 @@ def measure(backend: str) -> int:
                                 {
                                     **detail,
                                     "mode": f"fan-{fan_workers}conn",
-                                    "fan_msps": round(fan_msps, 2),
-                                    "fan_median_msps": round(
-                                        fs[len(fs) // 2], 2
-                                    ),
-                                    "fan_window_msps": [
-                                        round(v, 1) for v in fan_windows
-                                    ],
-                                    "fan_collect_split": _split(fan_best[1]),
-                                    "fan_h2d_mbps_per_conn": fan_h2d,
+                                    **fan_detail,
                                 },
                             )
                         )
+                    else:
+                        # Fan slower than single-process this run: keep
+                        # the single-process headline but make the fan's
+                        # numbers visible for diagnosis (a silent fan
+                        # phase is indistinguishable from a skipped one).
+                        _emit(_result(msps, parity, {**detail, **fan_detail}))
                     if _remaining() < 60:
                         break
             finally:
                 fan.close()
-        except Exception:  # noqa: BLE001 — fan is an optimization only
-            pass
+        except Exception as e:  # noqa: BLE001 — fan is an optimization only
+            if _BEST is not None and "detail" in _BEST:
+                _BEST["detail"]["fan_error"] = f"{type(e).__name__}: {e}"[:200]
+                _emit(_BEST)
 
     return 0
 

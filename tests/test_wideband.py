@@ -119,6 +119,15 @@ def test_empty_capture(receiver):
     assert receiver.decode(iq) == []
 
 
+def _random_runs(rng, shape, n_sym):
+    """Random contiguous validity runs, some empty."""
+    first = rng.integers(0, n_sym, size=shape)
+    count = rng.integers(0, n_sym, size=shape)
+    count = np.minimum(count, n_sym - first)
+    idx = np.arange(n_sym)
+    return (idx >= first[..., None]) & (idx < (first + count)[..., None])
+
+
 def test_wire_flat_roundtrip_exact():
     """pack_wire_flat -> unpack_wire_flat is byte-exact: int32 metadata
     (incl. values with high bytes set) and float32 metadata (incl.
@@ -142,9 +151,11 @@ def test_wire_flat_roundtrip_exact():
         ),
         valid=jnp.asarray(rng.integers(0, 2, size=(C, B, K)), bool),
         bits=jnp.asarray(rng.integers(0, 2, size=(C, B, K, n_sym)), jnp.uint8),
-        bit_valid=jnp.asarray(
-            rng.integers(0, 2, size=(C, B, K, n_sym)), bool
-        ),
+        # bit_valid is a CONTIGUOUS run by construction in every demod
+        # mode (symbol positions advance monotonically and validity is a
+        # window-bounds test) — the wire carries it as (first, count),
+        # so the roundtrip contract covers runs, incl. empty ones.
+        bit_valid=jnp.asarray(_random_runs(rng, (C, B, K), n_sym), bool),
         freq_est=jnp.asarray(
             rng.uniform(-4000, 4000, size=(C, B, 7)).astype(np.float32)
         ),

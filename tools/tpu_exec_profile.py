@@ -68,18 +68,20 @@ def main() -> int:
     cfg = WidebandConfig()
     n48 = cfg.block_len + cfg.core_len * (args.blocks - 1)
     n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
-    align = int(np.lcm(cfg.decimation, 4))
+    align = int(np.lcm(cfg.decimation, 8))  # 8: cr1 packs 8 samples/byte
     n_in = -(-n_in // align) * align
+
+    from ais_tpu.ops.convert import iq_from_bytes_cr1
 
     conv = {
         "ci1": iq_from_bytes_ci1,
         "ci2": iq_from_bytes_ci2,
         "ci4": iq_from_bytes_ci4,
         "ci8": iq_from_bytes_ci8,
+        "cr1": lambda r: iq_from_bytes_cr1(r, n_in),
     }[args.fmt]
-    bytes_per = {"ci1": n_in // 4, "ci2": n_in // 2, "ci4": n_in, "ci8": 2 * n_in}[
-        args.fmt
-    ]
+    bytes_per = {"ci1": n_in // 4, "ci2": n_in // 2, "ci4": n_in,
+                 "ci8": 2 * n_in, "cr1": -(-n_in // 8)}[args.fmt]
 
     chan_fn, demod_fn = make_wideband_fns(cfg, n_in)
     demod_cfg = dataclasses.replace(cfg.demod, samples_per_symbol=cfg.sps)

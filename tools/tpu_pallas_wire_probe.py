@@ -44,6 +44,7 @@ def main() -> int:
         iq_from_bytes_ci1,
         iq_from_bytes_ci2,
         iq_from_bytes_ci4,
+        iq_from_bytes_cr1,
     )
     from ais_tpu.ops.fir import (
         _mixer_carrier,
@@ -60,13 +61,14 @@ def main() -> int:
 
     rate, decim, offsets = 2.4e6, 50, (-25e3, 25e3)
     taps = low_pass(1.0, rate, 11e3, 2e3)
-    n_in = int(args.n_in - (args.n_in % int(np.lcm(decim, 4))))
+    n_in = int(args.n_in - (args.n_in % int(np.lcm(decim, 8))))
     n_out = n_in // decim - (-(-taps.size // decim)) + 1
     assert wire_channelizer_supported(args.fmt, taps.size, decim, offsets, rate)
     conv = {
         "ci1": iq_from_bytes_ci1,
         "ci2": iq_from_bytes_ci2,
         "ci4": iq_from_bytes_ci4,
+        "cr1": lambda r: iq_from_bytes_cr1(r, n_in),
     }[args.fmt]
 
     rng = np.random.default_rng(0)
