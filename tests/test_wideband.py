@@ -196,6 +196,52 @@ def test_wire_flat_roundtrip_exact():
     )
 
 
+def test_bit_valid_is_contiguous_all_modes():
+    """The (first, count) wire form of bit_valid (pack_wire_flat) is
+    lossless ONLY because every demod mode emits a contiguous validity
+    run — symbol positions advance monotonically and validity is a
+    window-bounds test (sync/feedforward.py, sync/timing.py,
+    sync/mlse.py).  Guard that contract directly: demod noisy bursts at
+    several positions in every mode and assert each record's bit_valid
+    has no interior gap."""
+    import dataclasses
+
+    import jax
+
+    from ais_tpu.core.params import DemodConfig
+    from ais_tpu.pipeline.receiver import make_burst_demod, required_halo
+    from ais_tpu.tx import aivdm_payload_to_bytes, make_packet_iq
+
+    raw = aivdm_payload_to_bytes("14eG;o@034o8sd<L9i:a;WF>062D")
+    pkt = make_packet_iq(raw, samples_per_symbol=5)
+    rng = np.random.default_rng(17)
+
+    for mode, timing in (
+        ("discriminator", "feedforward"),
+        ("discriminator", "pll"),
+        ("mlse", "feedforward"),
+    ):
+        cfg = DemodConfig(demod_mode=mode, timing_mode=timing)
+        block_len = 16384
+        core_len = block_len - required_halo(cfg)
+        iq = (
+            rng.normal(size=block_len) + 1j * rng.normal(size=block_len)
+        ).astype(np.complex64) * 0.05
+        # Packets at a spread of offsets, incl. one jammed against the
+        # core end so its window clips (the case that shortens the run).
+        for at in (300, 5000, core_len - 900):
+            iq[at : at + pkt.size] += pkt.astype(np.complex64)
+        rec = jax.tree.map(
+            np.asarray, make_burst_demod(cfg, block_len, core_len)(iq)
+        )
+        assert rec.valid.sum() >= 2, (mode, timing)
+        for k in np.nonzero(rec.valid)[0]:
+            bv = rec.bit_valid[k].astype(np.int8)
+            transitions = int(np.abs(np.diff(bv)).sum())
+            # A contiguous run has at most one 0->1 and one 1->0 edge.
+            assert transitions <= 2, (mode, timing, int(k), transitions)
+
+
 def test_packed_format_roundtrip():
     """ci4/ci2 host encode -> device decode land within half a
     quantization step of the source (ci4: step 1/8; ci2: 4-level
