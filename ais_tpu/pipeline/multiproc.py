@@ -52,7 +52,9 @@ from ais_tpu.pipeline.host import DecodedPacket
 from ais_tpu.pipeline.wideband import WidebandConfig, num_taps, wideband_geometry
 
 
-def _worker_main(cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q):
+def _worker_main(
+    cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q, n_workers=1
+):
     """One fan worker: build a receiver on its own device connection and
     decode the steps it is handed.  Runs in a spawned process.
 
@@ -171,18 +173,28 @@ def _worker_main(cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q):
             # both release the GIL in native code.
             stage_thread = None
             if not closing and staged_next is None:
+                # Prefetch only while the shared queue is deep: near the
+                # tail a stolen step would sit behind THIS worker's
+                # current cycle while an idle worker could start it
+                # immediately (qsize is approximate; on platforms where
+                # it raises, prefetch unconditionally).
                 try:
-                    item = in_q.get_nowait()
-                    if item is None:
-                        closing = True
-                    else:
-                        box = []
-                        stage_thread = _threading.Thread(
-                            target=lambda: box.append(stage(item))
-                        )
-                        stage_thread.start()
-                except queue_mod.Empty:
-                    pass
+                    deep = in_q.qsize() > n_workers // 2
+                except NotImplementedError:
+                    deep = True
+                if deep:
+                    try:
+                        item = in_q.get_nowait()
+                        if item is None:
+                            closing = True
+                        else:
+                            box = []
+                            stage_thread = _threading.Thread(
+                                target=lambda: box.append(stage(item))
+                            )
+                            stage_thread.start()
+                    except queue_mod.Empty:
+                        pass
             t5 = _time.perf_counter()
             pkts = rx.decode_fetched(fetched)
             t6 = _time.perf_counter()
@@ -305,6 +317,7 @@ class MultiProcessWideband:
                     exec_lock,
                     self._in_q,
                     self._out_q,
+                    n_workers,
                 ),
                 daemon=True,
             )
