@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import multiprocessing as mp
 import queue as queue_mod
+import time as time_mod
 
 import numpy as np
 
@@ -116,15 +117,21 @@ def _worker_main(
         except Exception:  # noqa: BLE001 — probe is informational only
             pass
         del probe
-        # Warm-up (compile / persistent-cache load) runs unlocked and
-        # BEFORE ready: it is a one-time cost, serializing it would stack
-        # N compiles end-to-end (prohibitive on the CPU backend's ~60 s
-        # compile), and deferring it to the first submitted step would
-        # charge it to the caller's first measured window while HOLDING
-        # the exec lock (measured: 6 workers x ~28 s serialized).  A
-        # zeros wire keeps the warmup h2d/host halves near-free.
+        # Warm-up (compile / persistent-cache load) runs BEFORE ready and
+        # UNDER the exec lock.  Measured on the tunnel: "concurrent"
+        # unlocked warmups serialize through the shared service anyway
+        # (~150 s per worker either way), and holding the lock means a
+        # straggler still warming while ready workers already measure
+        # (start(min_ready=...)) cannot thrash their locked executions.
+        # A zeros wire keeps the warmup h2d/host halves near-free.
         try:
-            rx.decode_wire(np.zeros(wire_nbytes, dtype=np.uint8), fmt)
+            if exec_lock is not None:
+                exec_lock.acquire()
+            try:
+                rx.decode_wire(np.zeros(wire_nbytes, dtype=np.uint8), fmt)
+            finally:
+                if exec_lock is not None:
+                    exec_lock.release()
         except Exception:  # noqa: BLE001 — warmup is an optimization only
             pass
         out_q.put(("ready", None, {"h2d_mbps": h2d_mbps}))
@@ -340,20 +347,44 @@ class MultiProcessWideband:
             "steps": 0,
         }
         self.h2d_mbps: list[float] = []
+        self._ready = 0  # workers warm so far (late joiners counted in collect)
 
-    def start(self, timeout: float = 1800.0) -> None:
-        """Launch workers and block until every one is warm (receiver
-        built, device connection up)."""
+    def start(
+        self, timeout: float = 1800.0, min_ready: int | None = None
+    ) -> int:
+        """Launch workers and block until they are warm (receiver built,
+        device connection up, executable loaded).
+
+        `timeout` bounds the TOTAL wait.  With `min_ready` < n_workers,
+        return as soon as the deadline passes if at least that many are
+        warm: the ready workers pull from the shared queue immediately,
+        stragglers join the fan as their (lock-serialized) warmup
+        finishes — collect() absorbs their late 'ready' messages.
+        Returns the number of workers ready at return."""
+        if min_ready is None:
+            min_ready = self.n_workers
         for p in self._procs:
             p.start()
-        ready = 0
-        while ready < self.n_workers:
-            kind, _, payload = self._out_q.get(timeout=timeout)
+        deadline = time_mod.monotonic() + timeout
+        while self._ready < self.n_workers:
+            left = deadline - time_mod.monotonic()
+            if left <= 0:
+                break
+            try:
+                kind, _, payload = self._out_q.get(timeout=left)
+            except queue_mod.Empty:
+                break
             if kind == "error":
                 raise RuntimeError(f"fan worker failed during warmup: {payload}")
             if isinstance(payload, dict) and payload.get("h2d_mbps"):
                 self.h2d_mbps.append(round(payload["h2d_mbps"], 1))
-            ready += 1
+            self._ready += 1
+        if self._ready < min_ready:
+            raise TimeoutError(
+                f"only {self._ready}/{self.n_workers} fan workers warm "
+                f"after {timeout:.0f}s (min_ready={min_ready})"
+            )
+        return self._ready
 
     def submit(self, step_idx: int, wire: np.ndarray) -> None:
         """Enqueue one wire step (any free worker picks it up)."""
@@ -365,10 +396,20 @@ class MultiProcessWideband:
         position-sorted DecodedPackets."""
         n = self._outstanding if n is None else n
         packets = []
-        for _ in range(n):
+        collected = 0
+        while collected < n:
             kind, _step, payload = self._out_q.get(timeout=timeout)
             if kind == "error":
                 raise RuntimeError(f"fan worker failed: {payload}")
+            if kind == "ready":
+                # A straggler finished warming mid-phase (start() with
+                # min_ready): it is already pulling from the shared
+                # queue; just account for it.
+                self._ready += 1
+                if isinstance(payload, dict) and payload.get("h2d_mbps"):
+                    self.h2d_mbps.append(round(payload["h2d_mbps"], 1))
+                continue
+            collected += 1
             self._outstanding -= 1
             for key in (
                 "transfer_wait_s",
@@ -417,13 +458,25 @@ class MultiProcessWideband:
         for key in self.collect_stats:
             self.collect_stats[key] = 0 if key in ("steps", "wire_bytes") else 0.0
 
-    def close(self) -> None:
+    def close(self, join_timeout: float = 10.0) -> None:
+        """Shut workers down; bounded total wait.
+
+        A worker still inside its (minutes-long) warmup cannot see the
+        sentinel, so joins are short and stragglers are terminated — an
+        unbounded serial join here once ate the bench's error-reporting
+        window (the parent killed the process before the fan timeout
+        could be emitted)."""
         for _ in self._procs:
             self._in_q.put(None)  # one shutdown sentinel per worker
+        deadline = time_mod.monotonic() + join_timeout
         for p in self._procs:
-            p.join(timeout=30)
+            p.join(timeout=max(0.1, deadline - time_mod.monotonic()))
+        for p in self._procs:
             if p.is_alive():
                 p.terminate()
+        for p in self._procs:
+            if p.is_alive():
+                p.join(timeout=5)
 
     def __enter__(self):
         self.start()

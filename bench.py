@@ -459,20 +459,31 @@ def measure(backend: str) -> int:
                 fmt=WIRE_FMT,
                 cache_dir=CACHE_DIR,
             )
-            t_fan = time.time()
-            fan.start(timeout=max(60.0, min(900.0, _remaining() - 60)))
-            fan_start_s = round(time.time() - t_fan, 1)
-            fan_h2d = list(fan.h2d_mbps)
-            fan_windows: list[float] = []
-            fan_best = None
-            fan_iters = 2 * iters
-            # More fan windows than the single-process phase: each costs
-            # only ~2-4 s once the workers are warm, and the shared
-            # tunnel's service rate wanders minute-to-minute — sampling
-            # more windows makes best (capability) AND median
-            # (expectation) better estimates.
-            fan_max_windows = int(os.environ.get("AIS_TPU_FAN_WINDOWS", "8"))
+            # Worker warmups serialize through the shared tunnel service
+            # (~150 s each across 6 connections even on a warm cache —
+            # measured fan_start_s 896 with the parent's own cache load
+            # at 62 s).  start() bounds the TOTAL wait and returns once
+            # min_ready workers are warm: measurement begins with those
+            # while stragglers finish their lock-serialized warmups and
+            # join the shared pull queue mid-phase — so a degraded
+            # service degrades early windows instead of killing the fan.
             try:
+                t_fan = time.time()
+                fan_ready = fan.start(
+                    timeout=max(60.0, min(1200.0, _remaining() - 150)),
+                    min_ready=2,
+                )
+                fan_start_s = round(time.time() - t_fan, 1)
+                fan_h2d = list(fan.h2d_mbps)
+                fan_windows: list[float] = []
+                fan_best = None
+                fan_iters = 2 * iters
+                # More fan windows than the single-process phase: each
+                # costs only ~2-4 s once the workers are warm, and the
+                # shared tunnel's service rate wanders minute-to-minute —
+                # sampling more windows makes best (capability) AND
+                # median (expectation) better estimates.
+                fan_max_windows = int(os.environ.get("AIS_TPU_FAN_WINDOWS", "8"))
                 for _w in range(fan_max_windows):
                     fan.reset_collect_stats()
                     t0 = time.time()
@@ -495,6 +506,8 @@ def measure(backend: str) -> int:
                         "fan_collect_split": _split(fan_best[1]),
                         "fan_h2d_mbps_per_conn": fan_h2d,
                         "fan_start_s": fan_start_s,
+                        "fan_ready_at_start": fan_ready,
+                        "fan_ready_now": fan._ready,
                     }
                     if fan_msps > msps:
                         _emit(

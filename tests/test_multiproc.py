@@ -87,3 +87,43 @@ def test_fan_matches_single_process(n_workers):
     assert len(fan.h2d_mbps) == n_workers
     fan.reset_collect_stats()
     assert fan.collect_stats["steps"] == 0
+
+
+def test_fan_min_ready_late_joiners():
+    """start(min_ready=1) may return before every worker is warm; the
+    fan must still decode correctly, absorbing stragglers' late 'ready'
+    messages inside collect(), and close() must terminate workers that
+    never finished warming within its bounded join."""
+    cfg = WidebandConfig()
+    n48 = cfg.block_len + cfg.core_len
+    n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
+
+    fan = MultiProcessWideband(cfg, n_in=n_in, n_workers=3, platform="cpu")
+    n_steps = 6
+    total = fan.step_raw * n_steps + (fan.n_in - fan.step_raw)
+    wire, _tx = _capture(cfg, total)
+
+    rx = WidebandReceiver(cfg, n_in=fan.n_in)
+    want = []
+    for _i, step in wire_steps(wire, fan.n_in, fan.step_raw):
+        want.extend(rx.decode_wire(step, "ci8"))
+    want_set = sorted((p.payload, p.abs_sample, p.designator) for p in want)
+
+    try:
+        # Short total timeout with min_ready=1: the first worker warms in
+        # a few seconds on CPU, the rest may or may not make the cutoff —
+        # when they don't, submission begins while stragglers are still
+        # compiling and their 'ready' messages interleave with step
+        # results on the out queue (the path under test either way).
+        ready = fan.start(timeout=25.0, min_ready=1)
+        assert 1 <= ready <= 3
+        for i, step in wire_steps(wire, fan.n_in, fan.step_raw):
+            fan.submit(i, np.array(step))
+        got = fan.drain(timeout=600.0)
+    finally:
+        fan.close()
+    got_set = sorted((p.payload, p.abs_sample, p.designator) for p in got)
+    assert got_set == want_set
+    assert fan.collect_stats["steps"] == n_steps
+    # Every worker eventually reported ready (before or during collect).
+    assert fan._ready == 3
