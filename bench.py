@@ -475,6 +475,17 @@ def measure(backend: str) -> int:
                 )
                 fan_start_s = round(time.time() - t_fan, 1)
                 fan_h2d = list(fan.h2d_mbps)
+                # Make warmup progress visible immediately: if the first
+                # window is still draining when the external deadline
+                # kills us, the record must still show the fan got warm
+                # (and how long that took).
+                detail = {
+                    **detail,
+                    "fan_start_s": fan_start_s,
+                    "fan_ready_at_start": fan_ready,
+                    "fan_h2d_mbps_per_conn": fan_h2d,
+                }
+                _emit(_result(msps, parity, detail))
                 fan_windows: list[float] = []
                 fan_best = None
                 fan_iters = 2 * iters
@@ -485,11 +496,15 @@ def measure(backend: str) -> int:
                 # median (expectation) better estimates.
                 fan_max_windows = int(os.environ.get("AIS_TPU_FAN_WINDOWS", "8"))
                 for _w in range(fan_max_windows):
+                    if _remaining() < 90:
+                        break
                     fan.reset_collect_stats()
                     t0 = time.time()
                     for i in range(fan_iters):
                         fan.submit(i, wires[i % N_WIRES])
-                    fan.drain(timeout=max(60.0, _remaining() - 30))
+                    # Time out BEFORE the parent's external kill so a
+                    # stuck window surfaces as fan_error, not silence.
+                    fan.drain(timeout=max(30.0, _remaining() - 60))
                     dt = time.time() - t0
                     fan_windows.append(n_in * fan_iters / dt / 1e6)
                     if fan_best is None or dt < fan_best[0]:
