@@ -331,6 +331,12 @@ class MultiProcessWideband:
             for _ in range(n_workers)
         ]
         self._outstanding = 0
+        self._launched = False
+        # Worker failures observed by wait_ready()/collect(); wait_ready
+        # records and continues (a dead worker must never cost the bench
+        # its headline — VERDICT r4), collect() still raises because a
+        # mid-window death loses that worker's in-flight step.
+        self.worker_errors: list[str] = []
         # Aggregated worker phase split, summed over collected steps:
         # transfer_wait (time blocked on h2d), lock_wait, exec (dispatch
         # + execution under the lock), fetch (d2h only), stage (h2d
@@ -349,24 +355,53 @@ class MultiProcessWideband:
         self.h2d_mbps: list[float] = []
         self._ready = 0  # workers warm so far (late joiners counted in collect)
 
-    def start(
-        self, timeout: float = 1800.0, min_ready: int | None = None
-    ) -> int:
-        """Launch workers and block until they are warm (receiver built,
-        device connection up, executable loaded).
+    def launch(self) -> None:
+        """Start the worker processes WITHOUT waiting for warmup.
 
-        `timeout` bounds the TOTAL wait.  With `min_ready` < n_workers,
-        return as soon as the deadline passes if at least that many are
-        warm: the ready workers pull from the shared queue immediately,
-        stragglers join the fan as their (lock-serialized) warmup
-        finishes — collect() absorbs their late 'ready' messages.
-        Returns the number of workers ready at return."""
-        if min_ready is None:
-            min_ready = self.n_workers
+        Call this as early as possible (before scene synthesis, before
+        the parent's own compile): each worker's jax import, device
+        connection, h2d probe, and lock-serialized executable warmup
+        then overlap all of the parent's setup and single-process
+        measurement for free.  The round-4 driver run spent 1199 s of
+        its budget warming workers AFTER the single-process phase; this
+        entry point exists so that wait never happens again."""
+        if self._launched:
+            return
         for p in self._procs:
             p.start()
+        self._launched = True
+
+    def hold_exec(self) -> None:
+        """Take the shared exec lock in the parent.
+
+        Between launch() and release_exec() the workers' (lock-held)
+        warmup decodes cannot start, so the parent's own compile /
+        cache-load — the critical path to the bench's FIRST headline —
+        runs without a concurrently-executing client degrading the
+        shared tunnel service.  Workers still do their jax import,
+        receiver build, and h2d probe concurrently."""
+        if self._exec_lock is not None:
+            self._exec_lock.acquire()
+
+    def release_exec(self) -> None:
+        if self._exec_lock is not None:
+            self._exec_lock.release()
+
+    def wait_ready(self, timeout: float, min_ready: int | None = None) -> int:
+        """Block until `min_ready` workers are warm or `timeout` passes.
+
+        NEVER raises: a timeout or a dead worker returns the current
+        ready count (errors land in `self.worker_errors`) — once a
+        single-process headline exists, no fan condition may cost the
+        bench its result (VERDICT r4: the fan raised after 1199 s with
+        1 warm worker that could have measured).  Call repeatedly with
+        short timeouts to poll; stragglers that warm mid-measurement
+        are additionally absorbed inside collect()."""
+        if min_ready is None:
+            min_ready = self.n_workers
+        self.launch()
         deadline = time_mod.monotonic() + timeout
-        while self._ready < self.n_workers:
+        while self._ready < min_ready:
             left = deadline - time_mod.monotonic()
             if left <= 0:
                 break
@@ -375,16 +410,124 @@ class MultiProcessWideband:
             except queue_mod.Empty:
                 break
             if kind == "error":
-                raise RuntimeError(f"fan worker failed during warmup: {payload}")
+                self.worker_errors.append(str(payload))
+                continue
             if isinstance(payload, dict) and payload.get("h2d_mbps"):
                 self.h2d_mbps.append(round(payload["h2d_mbps"], 1))
             self._ready += 1
-        if self._ready < min_ready:
+        return self._ready
+
+    def start(
+        self, timeout: float = 1800.0, min_ready: int | None = None
+    ) -> int:
+        """launch() + wait_ready(); raises TimeoutError if fewer than
+        `min_ready` workers are warm in time (legacy contract — bench.py
+        uses launch()/wait_ready() directly, which never raise)."""
+        if min_ready is None:
+            min_ready = self.n_workers
+        ready = self.wait_ready(timeout, min_ready)
+        if self.worker_errors:
+            raise RuntimeError(
+                f"fan worker failed during warmup: {self.worker_errors[0]}"
+            )
+        if ready < min_ready:
             raise TimeoutError(
-                f"only {self._ready}/{self.n_workers} fan workers warm "
+                f"only {ready}/{self.n_workers} fan workers warm "
                 f"after {timeout:.0f}s (min_ready={min_ready})"
             )
-        return self._ready
+        return ready
+
+    def parent_pump(self, rx, idle_timeout: float = 0.4) -> int:
+        """Run the CALLER'S thread as one more fan worker, over the
+        parent's own already-warm WidebandReceiver and device
+        connection.
+
+        The parent process finished its single-process phase moments
+        ago: its executable is loaded and its connection proven.  With
+        the parent pulling from the same shared queue, a fan phase that
+        found only ONE warm worker still measures two connections — the
+        fan degrades toward single-process throughput instead of toward
+        zero.  Call after submitting a window's steps; returns when the
+        queue has stayed empty for `idle_timeout` (remaining in-flight
+        steps are then awaited by drain()/collect()).  Returns the
+        number of steps this thread processed."""
+        import jax
+
+        done = 0
+        while True:
+            try:
+                item = self._in_q.get(timeout=idle_timeout)
+            except queue_mod.Empty:
+                return done
+            if item is None:  # a worker's shutdown sentinel: hand it back
+                self._in_q.put(None)
+                return done
+            step_idx, wire = item
+            t0 = time_mod.perf_counter()
+            staged = rx.stage_wire(wire, self.fmt, pos=step_idx * rx.step_raw)
+            t0b = time_mod.perf_counter()
+            jax.block_until_ready(staged[0])
+            t1 = time_mod.perf_counter()
+            if self._exec_lock is not None:
+                self._exec_lock.acquire()
+            t2 = time_mod.perf_counter()
+            try:
+                handle = rx.dispatch_wire(staged)
+                jax.block_until_ready(handle[0])
+            finally:
+                if self._exec_lock is not None:
+                    self._exec_lock.release()
+            t3 = time_mod.perf_counter()
+            fetched = rx.fetch_wire(handle)
+            t4 = time_mod.perf_counter()
+            pkts = rx.decode_fetched(fetched)
+            t5 = time_mod.perf_counter()
+            self._out_q.put(
+                (
+                    "pkts",
+                    step_idx,
+                    {
+                        "packets": [
+                            (
+                                p.payload,
+                                p.abs_sample,
+                                p.designator,
+                                p.corr_mag,
+                                p.freq_est_hz,
+                                p.rssi,
+                            )
+                            for p in pkts
+                        ],
+                        "transfer_wait_s": t1 - t0b,
+                        "lock_wait_s": t2 - t1,
+                        "exec_s": t3 - t2,
+                        "fetch_s": t4 - t3,
+                        "stage_s": t0b - t0,
+                        "host_s": t5 - t4,
+                        "wire_bytes": wire.nbytes,
+                    },
+                )
+            )
+            done += 1
+
+    def abandon_outstanding(self) -> int:
+        """Forget in-flight steps after a failed window (worker death /
+        drain timeout): zero the outstanding count and drop any queued
+        results so the NEXT window's accounting starts clean.  Returns
+        how many steps were abandoned."""
+        lost = self._outstanding
+        self._outstanding = 0
+        while True:
+            try:
+                kind, _, payload = self._out_q.get_nowait()
+            except queue_mod.Empty:
+                return lost
+            if kind == "ready":
+                self._ready += 1
+                if isinstance(payload, dict) and payload.get("h2d_mbps"):
+                    self.h2d_mbps.append(round(payload["h2d_mbps"], 1))
+            elif kind == "error":
+                self.worker_errors.append(str(payload))
 
     def submit(self, step_idx: int, wire: np.ndarray) -> None:
         """Enqueue one wire step (any free worker picks it up)."""
@@ -398,7 +541,14 @@ class MultiProcessWideband:
         packets = []
         collected = 0
         while collected < n:
-            kind, _step, payload = self._out_q.get(timeout=timeout)
+            try:
+                kind, _step, payload = self._out_q.get(timeout=timeout)
+            except queue_mod.Empty:
+                raise TimeoutError(
+                    f"fan collect: {n - collected}/{n} step results still "
+                    f"missing after {timeout:.0f}s "
+                    f"({self._ready}/{self.n_workers} workers warm)"
+                ) from None
             if kind == "error":
                 raise RuntimeError(f"fan worker failed: {payload}")
             if kind == "ready":
@@ -466,6 +616,8 @@ class MultiProcessWideband:
         unbounded serial join here once ate the bench's error-reporting
         window (the parent killed the process before the fan timeout
         could be emitted)."""
+        if not self._launched:
+            return
         for _ in self._procs:
             self._in_q.put(None)  # one shutdown sentinel per worker
         deadline = time_mod.monotonic() + join_timeout

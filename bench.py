@@ -210,6 +210,35 @@ def _content_parity(found, tx_packets, decim):
     return matched / max(len(tx_packets), 1)
 
 
+def _fan_parity(found, tx_packets, decim, step_chan, n_steps):
+    """Content parity for a fan window that submitted wire 0 for every
+    step: step i re-decodes the whole scene shifted by i*step_chan, so
+    the full expected packet set is n_steps x tx_packets at known
+    positions.  Steps are step_chan (~750k channel samples) apart — far
+    beyond the dedup window — so no cross-step suppression occurs."""
+    from collections import defaultdict
+
+    chan_of = {-25e3: "A", 25e3: "B"}
+    by_key = defaultdict(list)
+    for fp in found:
+        by_key[(fp.designator, fp.payload)].append(fp.abs_sample)
+    matched = 0
+    for i in range(n_steps):
+        for tp in tx_packets:
+            want = i * step_chan + tp.start_sample // decim
+            lst = by_key.get(
+                (chan_of.get(tp.offset_hz, "A"), tp.payload), []
+            )
+            hit = next(
+                (j for j, pos in enumerate(lst) if abs(pos - want) < 300),
+                None,
+            )
+            if hit is not None:
+                matched += 1
+                lst.pop(hit)
+    return matched / max(n_steps * len(tx_packets), 1)
+
+
 def _enable_cache(jax):
     """Persistent executable cache: the tunnel's remote compile service
     takes ~15 min for the wideband program; cache hits load in ~40 s."""
@@ -322,6 +351,40 @@ def measure(backend: str) -> int:
     from ais_tpu.pipeline.wideband import WidebandReceiver
 
     cfg, n_in = _geometry()
+
+    # Launch the ingest-fan workers FIRST (TPU only): their serialized
+    # ~150 s-plus warmups then overlap scene load, the parent's own
+    # compile, and the whole single-process phase — in round 4 the fan
+    # started warming only after all of that and burned 1199 s of a
+    # 1500 s budget delivering nothing (VERDICT r4 item 1).  The parent
+    # holds the shared exec lock until its own warmup decode is done so
+    # the workers' lock-held warmup executions cannot degrade the
+    # critical path to the first emitted headline.
+    fan = None
+    fan_note = None
+    t_fan_launch = time.time()
+    fan_workers = int(os.environ.get("AIS_TPU_FAN_WORKERS", "5"))
+    # AIS_TPU_BENCH_FAN=1 forces the fan on the CPU backend — a flow
+    # test for this orchestration (the real fan exists for the tunnel's
+    # per-connection h2d FIFO, which CPU does not have).
+    fan_enabled = backend == "tpu" or os.environ.get("AIS_TPU_BENCH_FAN") == "1"
+    if fan_enabled and fan_workers > 0:
+        try:
+            from ais_tpu.pipeline.multiproc import MultiProcessWideband
+
+            fan = MultiProcessWideband(
+                cfg,
+                n_in=n_in,
+                n_workers=fan_workers,
+                fmt=WIRE_FMT,
+                platform=None if backend == "tpu" else "cpu",
+                cache_dir=CACHE_DIR,
+            )
+            fan.hold_exec()
+            fan.launch()
+        except Exception as e:  # noqa: BLE001 — fan is an optimization only
+            fan, fan_note = None, f"launch: {type(e).__name__}: {e}"[:160]
+
     rx = WidebandReceiver(cfg, n_in=n_in)
     n_in = rx.n_in  # decim-aligned
 
@@ -361,6 +424,12 @@ def measure(backend: str) -> int:
             },
         )
     )
+    # A headline exists: let the fan workers' lock-held warmups proceed,
+    # overlapping the single-process windows below.  One worker warms at
+    # a time (they serialize on the exec lock), so at most two clients
+    # ever execute concurrently on the shared service.
+    if fan is not None:
+        fan.release_exec()
 
     # Steady state, two loop shapes per window:
     #   serial   — submit/collect one step at a time.  On the tunnel TPU
@@ -397,15 +466,13 @@ def measure(backend: str) -> int:
                 pending.append(submit())
         return time.time() - t0, pkts, host_s
 
-    # Budget reserves: the fan phase needs worker warmup plus its
-    # windows; below the reserve we skip ahead so SOMETHING measured is
-    # always emitted.  Workers warm CONCURRENTLY before reporting ready
-    # (multiproc.py: h2d probe + zeros-wire decode, ~90-150 s total on a
-    # warm executable cache), so the reserve is sized to warmup + one
-    # window + slack — a tunnel-side recompile stall in the
-    # single-process phase (measured once at 578 s) must not starve the
-    # fan, which is where the headline number comes from.
-    fan_reserve = 300.0 if backend == "tpu" else 0.0
+    # Budget reserve for the fan phase (its workers have been warming
+    # since the top of measure(), so the reserve covers only the fan's
+    # parity window + a few timed windows): below it we skip ahead so
+    # SOMETHING measured is always emitted — a tunnel-side recompile
+    # stall in the single-process phase (measured once at 578 s) must
+    # not starve the fan, which is where the headline comes from.
+    fan_reserve = 240.0 if backend == "tpu" else 0.0
 
     sp_windows: list[float] = []  # per-window msps
     best = None  # (dt, pkts, host_s, depth, split)
@@ -441,116 +508,191 @@ def measure(backend: str) -> int:
     # connections; with executions lock-serialized the fan roughly
     # doubles sustained ingest (pipeline/multiproc.py).  One chip, one
     # host — the fan is ingest orchestration, not extra compute.
-    # 6 connections: with the cr1 wire each step's transfer is ~4.7 MB
-    # (~120 ms at the ~40 MB/s per-connection cap) and the serialized
-    # exec slot ~65 ms — a worker's cycle (transfer + exec + d2h + host)
-    # exceeds 4 exec slots, so 4 workers leave the chip idle between
-    # slots; 6 covers the cycle with margin while the aggregate link cap
-    # (~78 MB/s) still clears 6 steps/cycle.
-    fan_workers = int(os.environ.get("AIS_TPU_FAN_WORKERS", "6"))
-    if backend == "tpu" and _remaining() > 200:
+    #
+    # Survivability contract (VERDICT r4 item 1 — the fan missed the
+    # official capture two rounds running): the workers have been
+    # warming since the top of measure(); from here on NOTHING may
+    # raise.  The parent keeps sampling single-process windows while
+    # polling for the first warm worker, then measures with WHOEVER is
+    # warm — the parent's own thread joins the fan over its already-warm
+    # receiver (parent_pump), so even one warm worker means two
+    # connections; stragglers join mid-phase through the shared pull
+    # queue.  Worker-count adaptivity is implicit: early windows run the
+    # few-fat-connection configuration, later windows the wide one, and
+    # best/median are reported across all of them.
+    if fan is not None and _remaining() > 120:
         try:
-            from ais_tpu.pipeline.multiproc import MultiProcessWideband
+            fan_detail: dict = {
+                "fan_workers": fan.n_workers,
+                # Workers launched at t=0: age of the fleet when the fan
+                # phase begins (all of it overlapped the phases above).
+                "fan_launch_age_s": round(time.time() - t_fan_launch, 1),
+            }
+            # Poll for the first warm worker; between polls keep
+            # improving the single-process sample (each window ~2-4 s,
+            # and the tunnel wanders, so more samples help the best).
+            t_wait0 = time.time()
+            while (
+                fan.wait_ready(timeout=15.0, min_ready=1) == 0
+                and _remaining() > 240
+            ):
+                rx.reset_collect_stats()
+                dt, pkts, host_s = run_window(best_depth)
+                sp_windows.append(n_in * iters / dt / 1e6)
+                if dt < best_dt:
+                    best_dt, best_split = dt, dict(rx.collect_stats)
+                    msps = n_in * iters / best_dt / 1e6
+                    sp_sorted = sorted(sp_windows)
+                    detail = {
+                        **detail,
+                        "single_process_msps": round(msps, 2),
+                        "single_process_median_msps": round(
+                            sp_sorted[len(sp_sorted) // 2], 2
+                        ),
+                        "window_msps": [round(v, 1) for v in sp_windows],
+                        "collect_split": _split(best_split),
+                    }
+                    _emit(_result(msps, parity, detail))
+            fan_detail["fan_first_ready_s"] = round(time.time() - t_wait0, 1)
+            fan_detail["fan_ready_at_start"] = fan._ready
+            if fan.worker_errors:
+                fan_detail["fan_worker_errors"] = "; ".join(
+                    fan.worker_errors
+                )[:200]
+            detail = {**detail, **fan_detail}
+            _emit(_result(msps, parity, detail))
 
-            fan = MultiProcessWideband(
-                cfg,
-                n_in=n_in,
-                n_workers=fan_workers,
-                fmt=WIRE_FMT,
-                cache_dir=CACHE_DIR,
-            )
-            # Worker warmups serialize through the shared tunnel service
-            # (~150 s each across 6 connections even on a warm cache —
-            # measured fan_start_s 896 with the parent's own cache load
-            # at 62 s).  start() bounds the TOTAL wait and returns once
-            # min_ready workers are warm: measurement begins with those
-            # while stragglers finish their lock-serialized warmups and
-            # join the shared pull queue mid-phase — so a degraded
-            # service degrades early windows instead of killing the fan.
-            try:
-                t_fan = time.time()
-                fan_ready = fan.start(
-                    timeout=max(60.0, min(1200.0, _remaining() - 150)),
-                    min_ready=2,
-                )
-                fan_start_s = round(time.time() - t_fan, 1)
-                fan_h2d = list(fan.h2d_mbps)
-                # Make warmup progress visible immediately: if the first
-                # window is still draining when the external deadline
-                # kills us, the record must still show the fan got warm
-                # (and how long that took).
-                detail = {
-                    **detail,
-                    "fan_start_s": fan_start_s,
-                    "fan_ready_at_start": fan_ready,
-                    "fan_h2d_mbps_per_conn": fan_h2d,
-                }
-                _emit(_result(msps, parity, detail))
-                fan_windows: list[float] = []
-                fan_best = None
+            if fan._ready > 0:
                 fan_iters = 2 * iters
-                # More fan windows than the single-process phase: each
-                # costs only ~2-4 s once the workers are warm, and the
-                # shared tunnel's service rate wanders minute-to-minute —
-                # sampling more windows makes best (capability) AND
-                # median (expectation) better estimates.
-                fan_max_windows = int(os.environ.get("AIS_TPU_FAN_WINDOWS", "8"))
-                for _w in range(fan_max_windows):
-                    if _remaining() < 90:
-                        break
+                step_chan = rx.step_raw // cfg.decimation
+
+                def fan_window(parity_check: bool):
+                    """One timed fan window; the parent thread pumps the
+                    shared queue alongside the workers.  parity_check
+                    windows submit only wire 0 so every step's expected
+                    packet set is known exactly (mixed-wire windows keep
+                    the transport honest — no repeated bytes)."""
                     fan.reset_collect_stats()
                     t0 = time.time()
                     for i in range(fan_iters):
-                        fan.submit(i, wires[i % N_WIRES])
-                    # Time out BEFORE the parent's external kill so a
-                    # stuck window surfaces as fan_error, not silence.
-                    fan.drain(timeout=max(30.0, _remaining() - 60))
+                        fan.submit(
+                            i, wires[0 if parity_check else i % N_WIRES]
+                        )
+                    fan.parent_pump(rx)
+                    got = fan.drain(timeout=max(20.0, _remaining() - 40))
                     dt = time.time() - t0
+                    p = (
+                        _fan_parity(
+                            got, tx_packets, cfg.decimation, step_chan,
+                            fan_iters,
+                        )
+                        if parity_check
+                        else None
+                    )
+                    return dt, p
+
+                # Window 0: parity-checked (identical wire bytes each
+                # step, so its time is excluded from the reported
+                # windows — transport caches could flatter it).
+                fan_parity = None
+                try:
+                    dt0, fan_parity = fan_window(parity_check=True)
+                    fan_detail["fan_parity"] = round(fan_parity, 4)
+                    fan_detail["fan_parity_window_msps"] = round(
+                        n_in * fan_iters / dt0 / 1e6, 1
+                    )
+                except Exception as e:  # noqa: BLE001
+                    fan.abandon_outstanding()
+                    fan_detail["fan_parity_error"] = (
+                        f"{type(e).__name__}: {e}"[:160]
+                    )
+                detail = {**detail, **fan_detail}
+                _emit(_result(msps, parity, detail))
+
+                fan_windows: list[float] = []
+                fan_best = None
+                fan_max_windows = int(
+                    os.environ.get("AIS_TPU_FAN_WINDOWS", "10")
+                )
+                for _w in range(fan_max_windows):
+                    if _remaining() < 75:
+                        break
+                    try:
+                        dt, _ = fan_window(parity_check=False)
+                    except Exception as e:  # noqa: BLE001
+                        fan.abandon_outstanding()
+                        fan_detail["fan_window_error"] = (
+                            f"{type(e).__name__}: {e}"[:160]
+                        )
+                        if _remaining() < 150:
+                            break
+                        continue
                     fan_windows.append(n_in * fan_iters / dt / 1e6)
                     if fan_best is None or dt < fan_best[0]:
                         fan_best = (dt, dict(fan.collect_stats))
-                    # Emit after every fan window: each may beat the last.
                     fan_msps = max(fan_windows)
                     fs = sorted(fan_windows)
-                    fan_detail = {
-                        "fan_msps": round(fan_msps, 2),
-                        "fan_median_msps": round(fs[len(fs) // 2], 2),
-                        "fan_window_msps": [
-                            round(v, 1) for v in fan_windows
-                        ],
-                        "fan_collect_split": _split(fan_best[1]),
-                        "fan_h2d_mbps_per_conn": fan_h2d,
-                        "fan_start_s": fan_start_s,
-                        "fan_ready_at_start": fan_ready,
-                        "fan_ready_now": fan._ready,
-                    }
-                    if fan_msps > msps:
+                    fan_detail.update(
+                        {
+                            "fan_msps": round(fan_msps, 2),
+                            "fan_median_msps": round(fs[len(fs) // 2], 2),
+                            "fan_window_msps": [
+                                round(v, 1) for v in fan_windows
+                            ],
+                            "fan_collect_split": _split(fan_best[1]),
+                            "fan_h2d_mbps_per_conn": list(fan.h2d_mbps),
+                            "fan_ready_now": fan._ready,
+                        }
+                    )
+                    # The fan headline requires its own parity evidence:
+                    # a window-0 content-parity of 1.0 (warmup parity
+                    # covered only the single-process path).
+                    if fan_msps > msps and (fan_parity or 0) >= 0.999:
                         _emit(
                             _result(
                                 fan_msps,
                                 parity,
                                 {
                                     **detail,
-                                    "mode": f"fan-{fan_workers}conn",
+                                    "mode": (
+                                        f"fan-{fan._ready}w+parent"
+                                    ),
                                     **fan_detail,
                                 },
                             )
                         )
                     else:
-                        # Fan slower than single-process this run: keep
-                        # the single-process headline but make the fan's
-                        # numbers visible for diagnosis (a silent fan
-                        # phase is indistinguishable from a skipped one).
-                        _emit(_result(msps, parity, {**detail, **fan_detail}))
+                        # Fan not (yet) winning: keep the single-process
+                        # headline but publish the fan numbers — a
+                        # silent fan phase is indistinguishable from a
+                        # skipped one.
+                        _emit(
+                            _result(
+                                msps, parity, {**detail, **fan_detail}
+                            )
+                        )
                     if _remaining() < 60:
                         break
-            finally:
-                fan.close()
+            else:
+                fan_detail["fan_error"] = (
+                    f"0/{fan.n_workers} workers warm with "
+                    f"{_remaining():.0f}s budget left — measured "
+                    f"single-process only"
+                )
+                _emit(_result(msps, parity, {**detail, **fan_detail}))
         except Exception as e:  # noqa: BLE001 — fan is an optimization only
             if _BEST is not None and "detail" in _BEST:
                 _BEST["detail"]["fan_error"] = f"{type(e).__name__}: {e}"[:200]
                 _emit(_BEST)
+    elif fan is None and fan_note and _BEST is not None:
+        _BEST["detail"]["fan_error"] = fan_note
+        _emit(_BEST)
 
+    if fan is not None:
+        try:
+            fan.close()
+        except Exception:  # noqa: BLE001
+            pass
     return 0
 
 
