@@ -339,6 +339,16 @@ def wire_format_envelope(
         strongest in-band feature (smoothed PSD peaks).  A positive
         value means something outside the AIS channels dominates the
         capture and will set the peak-referenced sigma-delta scale.
+      channel_snr_db — per channel: peak over chunks of the in-band
+        tone-to-floor ratio, 10*log10(noise-subtracted in-band power /
+        in-band noise power), -99 when the channel never registered
+        activity.  This is the proxy the sensitivity gate judges
+        (select_wire_format): measured against calibrated AWGN scenes
+        (wire_sweep.py part 2's Eb/N0 convention) it tracks
+        Eb/N0 - ~3.9 dB with unit slope over the 10-30 dB decode range
+        (the in-band window integrates ~30 kHz of noise against a
+        9600 bit/s GMSK tone; tests/test_wire_select.py pins the
+        calibration).
     """
     # PSDs over chunks spread across the WHOLE buffer, judged PER CHUNK:
     # AIS traffic is bursty (a packet is ~27 ms), so whole-capture power
@@ -348,7 +358,14 @@ def wire_format_envelope(
     # single weak burst anywhere in the buffer counts at its in-burst
     # strength.
     n = min(int(iq.size), 1 << 17)  # ~55 ms at 2.4 Msps: one burst fits
-    n_chunks = max(1, min(12, int(iq.size) // n))
+    # 75%-overlapped chunks (hop n/4): a ~27 ms burst then sits within
+    # ±n/8 of SOME chunk's center, bounding its Hanning edge loss to
+    # ~1 dB — with the old disjoint chunks a burst straddling a chunk
+    # boundary read up to ~10 dB low and spuriously tripped the
+    # sensitivity gate.  Beyond the 48-chunk cap (captures > ~0.7 s)
+    # chunks spread evenly: the statistics become a sample, which bursty
+    # AIS traffic (one packet per slot per vessel) keeps representative.
+    n_chunks = max(1, min(48, 1 + 4 * (int(iq.size) - n) // n))
     win = np.hanning(n).astype(np.float32)
     freqs = np.fft.fftfreq(n, 1.0 / rate)
     masks = [np.abs(freqs - off) <= band_hz for off in offsets]
@@ -361,6 +378,7 @@ def wire_format_envelope(
     tiny = 1e-30
     ch_peak = [0.0] * len(offsets)
     ch_active = [False] * len(offsets)
+    ch_snr = [-99.0] * len(offsets)
     interferer_db = -np.inf
     # A transmission's own spectral skirt lands in the ADJACENT channel
     # ~40-46 dB down (GMSK BT=0.4 at 2x the channel spacing, plus burst
@@ -380,10 +398,15 @@ def wire_format_envelope(
             p = float(psd[m].sum())
             p_sub.append(p - floor * nb if p > 3.0 * floor * nb else 0.0)
         strongest = max(p_sub)
-        for ci, p in enumerate(p_sub):
+        for ci, (p, m) in enumerate(zip(p_sub, masks)):
             if p > 0.0 and p > SKIRT_BOUND * strongest:
                 ch_active[ci] = True
                 ch_peak[ci] = max(ch_peak[ci], p)
+                nb = int(m.sum())
+                ch_snr[ci] = max(
+                    ch_snr[ci],
+                    10.0 * np.log10(p / max(floor * nb, tiny)),
+                )
         sm = np.convolve(psd, kern, mode="same")
         peak_in = float(sm[in_mask].max()) if in_mask.any() else tiny
         peak_out = float(sm[~in_mask].max()) if (~in_mask).any() else tiny
@@ -391,6 +414,19 @@ def wire_format_envelope(
             interferer_db,
             10.0 * np.log10(max(peak_out, tiny) / max(peak_in, tiny)),
         )
+    # Global skirt post-pass: the per-chunk bound compares against that
+    # chunk's strongest channel, but a chunk catching only a burst's
+    # ramp transient sees little of the carrier and lets the ramp's
+    # wideband splatter register the OTHER channel as active (with the
+    # 75%-overlap chunking this happens reliably).  A channel whose
+    # best showing across the whole capture is still below -40 dBc of
+    # the strongest channel's best showing is skirt/splatter, not a
+    # transmission.
+    strongest_peak = max(ch_peak)
+    for ci, p in enumerate(ch_peak):
+        if ch_active[ci] and p < SKIRT_BOUND * strongest_peak:
+            ch_active[ci] = False
+            ch_snr[ci] = -99.0
     act = [p for p, a in zip(ch_peak, ch_active) if a]
     near_far_db = (
         10.0 * np.log10(max(act) / max(min(act), tiny)) if len(act) >= 2 else 0.0
@@ -399,6 +435,7 @@ def wire_format_envelope(
         "near_far_db": float(near_far_db),
         "interferer_db": float(interferer_db),
         "channels_active": ch_active,
+        "channel_snr_db": [float(s) for s in ch_snr],
     }
 
 
@@ -409,6 +446,7 @@ def select_wire_format(
     offsets: tuple = (-25e3, +25e3),
     near_far_limit_db: float = 24.0,
     interferer_limit_db: float = 6.0,
+    min_snr_db: float = 15.5,
 ) -> tuple[str, str]:
     """Auto-fallback for the 1-bit ingest formats: (format, reason).
 
@@ -422,6 +460,18 @@ def select_wire_format(
     fall back to the linear ci8 wire (full front-end dynamic range at
     4x the bytes) instead of silently losing weak packets.  The limits
     sit a few dB inside the tested bounds.
+
+    `min_snr_db` is the AWGN-floor (sensitivity) gate, VERDICT r4
+    item 3: cr1's packet success falls off below Eb/N0 ~18-20 dB while
+    ci1 matches the float path to ~1 dB (WIRE.md sensitivity table —
+    the one measured envelope the r4 guard did not check).  When the
+    weakest ACTIVE channel's in-band SNR proxy (channel_snr_db, which
+    tracks Eb/N0 - ~3.9 dB) is below this margin, a cr1 preference
+    falls back to ci1: same 1-bit sigma-delta family at 2x the bytes,
+    float-equivalent sensitivity.  The default 15.5 dB corresponds to
+    Eb/N0 ~19.4 dB — right at cr1's measured >=95%-success floor
+    (20 dB), so captures below the crossover ride ci1.  An idle
+    channel (never active in any chunk) does not trip the gate.
     """
     if preferred not in ("cr1", "ci1", "cd1"):
         return preferred, "linear format: no envelope to check"
@@ -438,6 +488,20 @@ def select_wire_format(
             f"near-far imbalance {env['near_far_db']:.1f} dB "
             f"(> {near_far_limit_db:.0f} dB limit)",
         )
+    if preferred == "cr1":
+        act_snr = [
+            s
+            for s, a in zip(env["channel_snr_db"], env["channels_active"])
+            if a
+        ]
+        if act_snr and min(act_snr) < min_snr_db:
+            return (
+                "ci1",
+                f"in-band SNR {min(act_snr):.1f} dB below the cr1 "
+                f"sensitivity margin ({min_snr_db:.1f} dB ~ Eb/N0 "
+                f"{min_snr_db + 3.9:.0f} dB, cr1's measured AWGN floor "
+                f"- WIRE.md): ci1 holds float-path sensitivity",
+            )
     return preferred, "within envelope"
 
 

@@ -60,6 +60,17 @@ class WidebandConfig(NamedTuple):
     # no detection is dropped — matching the reference's unbounded tag
     # stream (lib/corr_est_cc_impl.cc:250-266).  False logs only.
     overflow_recovery: bool = True
+    # Valid-lane d2h compaction (0 = off): the burst table is sized for
+    # the per-block worst case (K lanes per (channel, block)) but at
+    # full TDMA load only ~40-50% of lanes are ever valid — the rest
+    # ship ~140 bytes each of zeros over the ~3-10 MB/s tunnel d2h
+    # (the fetch was 79% of the single-process collect in the r4 driver
+    # run).  With compact_lanes=L the device gathers valid lanes to the
+    # front (top_k + one-hot MXU contraction — static shapes, see
+    # pack_wire_compact) and ships only L lanes plus a lane directory;
+    # a step with more than L valid lanes degrades to host-side block
+    # re-demod through the overflow-recovery path, never loss.
+    compact_lanes: int = 0
 
     @property
     def channel_rate(self) -> float:
@@ -204,6 +215,175 @@ def unpack_wire_flat(
     mask = (idx >= first) & (idx < first + count)  # (C, B, K, n_pack*8)
     vplane = np.packbits(mask, axis=-1).reshape(C, B, K, 1, n_pack)
     return WireRecords(meta_i, meta_f, np.concatenate([bits, vplane], axis=-2))
+
+
+def pack_wire_compact(rec: BurstRecords, fftlen: int, l_max: int) -> jax.Array:
+    """Valid-lane-compacted d2h payload (device side; static shapes).
+
+    `pack_wire_flat` ships every one of the C*B*K burst-table lanes even
+    though full TDMA load leaves most invalid — at the bench geometry
+    that is ~0.46 MB/step over a tunnel d2h link measured as low as
+    ~3 MB/s (79% of the r4 driver run's collect path).  Here the device
+    gathers the VALID lanes to the front and ships only `l_max` of them
+    plus a lane directory:
+
+      - lane order: `top_k` over ``valid * 2N - lane_index`` — valid
+        lanes first, each group in ascending lane order (top_k is
+        already on the hot path in burst NMS; no sort lowering issues),
+      - the gather is a one-hot MXU contraction over the per-lane byte
+        rows (ARCHITECTURE §4: take_along_axis-style lookups become
+        one-hot contractions) — exact, since every row byte <= 255 is
+        integer-representable and each one-hot row selects one lane,
+      - per-lane row: pos i32, win_start i32, bit_valid run (first u16,
+        count u16), [mag, freq, rssi] f32, packed bits — 24 + n_pack
+        bytes (~139 at the bench geometry vs ~151 uncompacted),
+      - per-(channel, block) n_detected and n_valid arrays ride in full
+        so the host can detect BOTH table overflow (n_detected > K) and
+        directory overflow (more than l_max valid lanes in the step —
+        the affected blocks are re-demodulated host-side through the
+        same overflow-recovery path; degradation is latency, not loss).
+
+    Layout (all little-endian):
+      [header: total_valid, l_max, n_lanes, row_bytes — 4x i32]
+      [n_detected (C*B) i32][n_valid (C*B) i32]
+      [directory (l_max) i32 flat lane ids][rows (l_max, row_bytes) u8]
+    """
+    w = pack_wire_records(rec, fftlen, valid_as_run=True)
+    C, B, K = w.meta_i.shape[:3]
+    n_lanes = C * B * K
+    n_pack = w.packed.shape[-1]
+    l_max = min(int(l_max), n_lanes)
+    row_bytes = 24 + n_pack
+
+    def le4(x_i32):
+        return jnp.stack(
+            [(x_i32 >> s) & 255 for s in (0, 8, 16, 24)], axis=-1
+        ).astype(jnp.uint8)
+
+    def le2(x_i32):
+        return jnp.stack([x_i32 & 255, (x_i32 >> 8) & 255], axis=-1).astype(
+            jnp.uint8
+        )
+
+    mi = w.meta_i.reshape(n_lanes, 6)
+    mf = jax.lax.bitcast_convert_type(
+        w.meta_f.reshape(n_lanes, 3), jnp.int32
+    )
+    rows = jnp.concatenate(
+        [
+            le4(mi[:, 0]),                      # position
+            le4(mi[:, 1]),                      # win_start
+            le2(mi[:, 4]),                      # bit_valid run first
+            le2(mi[:, 5]),                      # bit_valid run count
+            le4(mf).reshape(n_lanes, 12),       # mag, freq, rssi
+            w.packed.reshape(n_lanes, n_pack),  # packed bits
+        ],
+        axis=1,
+    )
+    valid = mi[:, 2]
+    key = valid * jnp.int32(2 * n_lanes) - jnp.arange(
+        n_lanes, dtype=jnp.int32
+    )
+    _, idx = jax.lax.top_k(key, l_max)
+    onehot = (
+        idx[:, None] == jnp.arange(n_lanes, dtype=jnp.int32)
+    ).astype(jnp.float32)
+    sel = jnp.matmul(
+        onehot,
+        rows.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    sel = jnp.round(sel).astype(jnp.uint8)
+    n_valid_blk = jnp.sum(
+        w.meta_i[..., 2].reshape(C * B, K).astype(jnp.int32), axis=-1
+    )
+    header = jnp.stack(
+        [
+            jnp.sum(valid).astype(jnp.int32),
+            jnp.int32(l_max),
+            jnp.int32(n_lanes),
+            jnp.int32(row_bytes),
+        ]
+    )
+    n_det = rec.n_detected.reshape(C * B).astype(jnp.int32)
+    return jnp.concatenate(
+        [
+            le4(header).ravel(),
+            le4(n_det).ravel(),
+            le4(n_valid_blk).ravel(),
+            le4(idx).ravel(),
+            sel.ravel(),
+        ]
+    )
+
+
+def unpack_wire_compact(
+    buf: np.ndarray, C: int, B: int, K: int, n_pack: int
+) -> tuple[WireRecords, list]:
+    """Host-side inverse of `pack_wire_compact`.
+
+    Scatters the shipped lanes back into the standard dense (C, B, K)
+    WireRecords layout (invalid lanes zero — the host back half only
+    reads valid lanes plus the n_detected column, which is rebuilt from
+    the per-block array) and rebuilds the bit_valid plane from its
+    (first, count) run.  Returns (records, dropped): `dropped` lists
+    (channel, block, n_detected) for blocks whose valid lanes exceeded
+    the directory bound and must be re-demodulated host-side."""
+    buf = np.asarray(buf, dtype=np.uint8)
+    total_valid, l_max, n_lanes, row_bytes = (
+        int(v) for v in np.frombuffer(buf[:16].tobytes(), "<i4")
+    )
+    if n_lanes != C * B * K or row_bytes != 24 + n_pack:
+        raise ValueError(
+            f"compact wire geometry mismatch: buffer says "
+            f"{n_lanes} lanes / {row_bytes} B rows, receiver expects "
+            f"{C * B * K} / {24 + n_pack}"
+        )
+    off = 16
+    n_det = np.frombuffer(buf[off : off + 4 * C * B].tobytes(), "<i4")
+    n_det = n_det.reshape(C, B)
+    off += 4 * C * B
+    n_valid_blk = np.frombuffer(
+        buf[off : off + 4 * C * B].tobytes(), "<i4"
+    ).reshape(C, B)
+    off += 4 * C * B
+    dirs = np.frombuffer(buf[off : off + 4 * l_max].tobytes(), "<i4")
+    off += 4 * l_max
+    rows = buf[off : off + l_max * row_bytes].reshape(l_max, row_bytes)
+
+    nv = min(total_valid, l_max)
+    d, r = dirs[:nv], rows[:nv]
+    meta_i = np.zeros((C * B * K, 6), np.int32)
+    meta_f = np.zeros((C * B * K, 3), np.float32)
+    bits = np.zeros((C * B * K, n_pack), np.uint8)
+    meta_i[d, 0] = np.frombuffer(r[:, 0:4].tobytes(), "<i4")
+    meta_i[d, 1] = np.frombuffer(r[:, 4:8].tobytes(), "<i4")
+    meta_i[d, 2] = 1
+    meta_i[d, 4] = np.frombuffer(r[:, 8:10].tobytes(), "<u2")
+    meta_i[d, 5] = np.frombuffer(r[:, 10:12].tobytes(), "<u2")
+    meta_f[d] = np.frombuffer(r[:, 12:24].tobytes(), "<f4").reshape(nv, 3)
+    bits[d] = r[:, 24 : 24 + n_pack]
+    meta_i = meta_i.reshape(C, B, K, 6)
+    meta_i[..., 3] = n_det[..., None]
+    first = meta_i[..., 4:5]
+    count = meta_i[..., 5:6]
+    idx = np.arange(n_pack * 8, dtype=np.int32)
+    mask = (idx >= first) & (idx < first + count)
+    vplane = np.packbits(mask, axis=-1).reshape(C, B, K, 1, n_pack)
+    packed = np.concatenate(
+        [bits.reshape(C, B, K, 1, n_pack), vplane], axis=-2
+    )
+    dropped = []
+    if total_valid > l_max:
+        got = meta_i[..., 2].sum(axis=-1)  # (C, B) lanes that made it
+        for c, b in zip(*np.nonzero(got < n_valid_blk)):
+            dropped.append(
+                (int(c), int(b), int(max(n_det[c, b], n_valid_blk[c, b])))
+            )
+    return (
+        WireRecords(meta_i, np.asarray(meta_f).reshape(C, B, K, 3), packed),
+        dropped,
+    )
 
 
 def channelizer_mode(cfg: WidebandConfig, n_in: int) -> str:
@@ -521,6 +701,12 @@ class WidebandReceiver:
             chan, demod = make_wideband_fns(self.cfg, self.n_in)
             fftlen = self.cfg.demod.fftlen
             cfg = self.cfg
+            cl = cfg.compact_lanes
+
+            def _pack(rec: BurstRecords) -> jax.Array:
+                if cl:
+                    return pack_wire_compact(rec, fftlen, cl)
+                return pack_wire_flat(rec, fftlen)
             taps = low_pass(1.0, cfg.input_rate, cfg.cutoff_hz, cfg.transition_hz)
             from ais_tpu.ops.pallas_fir import (
                 pallas_wire_channelizer,
@@ -556,14 +742,12 @@ class WidebandReceiver:
                         decim=cfg.decimation, offsets=cfg.offsets_hz,
                         rate=cfg.input_rate, n_in=n_in,
                     )
-                    return pack_wire_flat(demod(chans), fftlen)
+                    return _pack(demod(chans))
 
             else:
 
                 def fn(raw, ph, car, hf):
-                    return pack_wire_flat(
-                        demod(chan(conv(raw), ph, car, hf)), fftlen
-                    )
+                    return _pack(demod(chan(conv(raw), ph, car, hf)))
 
             self._wire_fns[fmt] = jax.jit(fn)
         at = self._pos if pos is None else int(pos)
@@ -624,13 +808,32 @@ class WidebandReceiver:
         )
         _, n_sym = burst_table_geometry(demod_cfg)
         n_pack = -(-n_sym // 8)
-        rec_np = unpack_wire_flat(
-            flat_np,
-            self.n_chan,
-            self.n_blocks,
-            demod_cfg.max_bursts_per_block,
-            n_pack,
-        )
+        dropped: list = []
+        if self.cfg.compact_lanes:
+            rec_np, dropped = unpack_wire_compact(
+                flat_np,
+                self.n_chan,
+                self.n_blocks,
+                demod_cfg.max_bursts_per_block,
+                n_pack,
+            )
+        else:
+            rec_np = unpack_wire_flat(
+                flat_np,
+                self.n_chan,
+                self.n_blocks,
+                demod_cfg.max_bursts_per_block,
+                n_pack,
+            )
+        if dropped and not self.cfg.overflow_recovery:
+            import logging
+
+            logging.getLogger("ais_tpu").warning(
+                "compact_lanes=%d dropped valid lanes in %d block(s) and "
+                "overflow_recovery is off — raise compact_lanes",
+                self.cfg.compact_lanes,
+                len(dropped),
+            )
         packets = decode_wire_records(
             rec_np,
             n_sym,
@@ -648,6 +851,13 @@ class WidebandReceiver:
                 (int(c), int(b), int(n_det[c, b]))
                 for c, b in zip(*np.nonzero(n_det > k))
             ]
+            # Directory overflow (compact_lanes): blocks whose valid
+            # lanes did not fit the shipped bound re-demod host-side
+            # exactly like a capped burst table.
+            seen = {(c, b) for c, b, _n in over}
+            over.extend(
+                x for x in dropped if (x[0], x[1]) not in seen
+            )
             if over:
                 from ais_tpu.pipeline.recover import (
                     host_iq_from_wire,

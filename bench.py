@@ -264,6 +264,14 @@ def _geometry():
     cfg = cfg._replace(
         demod=dataclasses.replace(cfg.demod, max_bursts_per_block=24)
     )
+    # Valid-lane d2h compaction (pipeline/wideband.py:pack_wire_compact):
+    # full load measures ~1300-1500 valid lanes of the 3072-lane table
+    # (1174 packets + correlator double-fires), so 1792 holds the peak
+    # with ~20% margin while cutting the record fetch ~45%; blocks
+    # beyond the bound would re-demod host-side via overflow recovery.
+    # AIS_TPU_COMPACT_LANES=0 restores the dense fetch.
+    cl = int(os.environ.get("AIS_TPU_COMPACT_LANES", "1792"))
+    cfg = cfg._replace(compact_lanes=cl)
     # ~64 demod blocks per device call (~16 s of air time): the tunnel
     # charges ~20-25 ms fixed dispatch latency per call, so bigger calls
     # lift the exec ceiling (310 -> 580 Msps exec-only from 16 -> 64

@@ -110,19 +110,18 @@ CORPUS = [
 ]
 
 
+@pytest.mark.parametrize("fmt", ["cr1", "ci1"])
 @pytest.mark.parametrize("impairment", CORPUS)
-def test_cr1_corpus(receiver, impairment):
+def test_onebit_corpus(receiver, impairment, fmt):
+    """Both 1-bit formats clear the full corpus: cr1 carries the
+    throughput headline, and ci1 is the documented sensitivity fallback
+    (select_wire_format routes near-floor captures to it), so each must
+    hold the whole impairment envelope (VERDICT r4 item 4 widened the
+    ci1 leg from a 3-of-8 spot-check)."""
     iq = _impair(impairment, receiver.n_in)
     rx = WidebandReceiver(receiver.cfg, n_in=receiver.n_in)
-    got = rx.decode_wire(host_bytes(iq, "cr1"), "cr1")
-    assert sorted(p.nmea for p in got) == [SENTENCE_A, SENTENCE_B], impairment
-
-
-@pytest.mark.parametrize("impairment", ["cfo+1k", "ppm-50", "iq_imbalance"])
-def test_ci1_corpus_spotcheck(receiver, impairment):
-    """ci1 at the corpus's hardest points (full sweep would double the
-    module's runtime for a format that shares the sigma-delta family)."""
-    iq = _impair(impairment, receiver.n_in)
-    rx = WidebandReceiver(receiver.cfg, n_in=receiver.n_in)
-    got = rx.decode_wire(host_bytes(iq, "ci1"), "ci1")
-    assert sorted(p.nmea for p in got) == [SENTENCE_A, SENTENCE_B], impairment
+    got = rx.decode_wire(host_bytes(iq, fmt), fmt)
+    assert sorted(p.nmea for p in got) == [SENTENCE_A, SENTENCE_B], (
+        fmt,
+        impairment,
+    )

@@ -104,3 +104,65 @@ class TestFallbackActuallyHelps:
         rx = WidebandReceiver(cfg, n_in=n_in)
         got = rx.decode_wire(host_bytes(iq, fmt), fmt)
         assert sorted(p.nmea for p in got) == [SENTENCE_A, SENTENCE_B]
+
+
+def _awgn_scene(n_in, ebn0_db, seed=1):
+    """Single packet per channel + calibrated AWGN, the Eb/N0 convention
+    of tools/wire_sweep.py part 2 (Eb/N0 = P*250/(2*sigma^2))."""
+    raw = aivdm_payload_to_bytes(PAYLOAD)
+    pkts = [
+        ScenarioPacket(raw, 300000, -25e3),
+        ScenarioPacket(raw, 400000, +25e3, phase=1.1),
+    ]
+    iq0 = Scenario(
+        sample_rate=2.4e6, n_samples=n_in, packets=pkts, noise=0.0
+    ).build()
+    P = float(np.mean(np.abs(iq0[300000 : 300000 + 60000]) ** 2))
+    sigma2 = P * 250 / (2 * 10 ** (ebn0_db / 10.0))
+    rng = np.random.default_rng(seed)
+    noise = rng.normal(0, np.sqrt(sigma2), n_in) + 1j * rng.normal(
+        0, np.sqrt(sigma2), n_in
+    )
+    return (iq0 + noise).astype(np.complex64)
+
+
+class TestSensitivityGate:
+    """AWGN-floor gate (VERDICT r4 item 3): cr1 loses packets below
+    Eb/N0 ~18-20 dB (WIRE.md sensitivity table) while ci1 matches the
+    float path to ~1 dB — a capture near the floor must ride ci1."""
+
+    def test_low_snr_falls_back_to_ci1(self, geometry):
+        _cfg, n_in = geometry
+        fmt, reason = select_wire_format(_awgn_scene(n_in, 16.0), "cr1")
+        assert fmt == "ci1"
+        assert "SNR" in reason
+
+    def test_high_snr_keeps_cr1(self, geometry):
+        _cfg, n_in = geometry
+        fmt, reason = select_wire_format(_awgn_scene(n_in, 24.0), "cr1")
+        assert fmt == "cr1", reason
+
+    def test_ci1_is_not_snr_gated(self, geometry):
+        # ci1 already holds float-path sensitivity: nothing to flee to.
+        _cfg, n_in = geometry
+        assert select_wire_format(_awgn_scene(n_in, 16.0), "ci1")[0] == "ci1"
+
+    def test_snr_proxy_tracks_ebn0(self, geometry):
+        """Calibration pin: channel_snr_db ~ Eb/N0 - 3.9 dB (unit slope)
+        over the decode range — the mapping select_wire_format's
+        min_snr_db default is expressed in."""
+        from ais_tpu.ops.convert import wire_format_envelope
+
+        _cfg, n_in = geometry
+        for ebn0 in (12.0, 20.0, 28.0):
+            env = wire_format_envelope(_awgn_scene(n_in, ebn0))
+            act = [
+                s
+                for s, a in zip(
+                    env["channel_snr_db"], env["channels_active"]
+                )
+                if a
+            ]
+            assert len(act) == 2, (ebn0, env)
+            for s in act:
+                assert abs(s - (ebn0 - 3.9)) < 1.5, (ebn0, act)
