@@ -3,4 +3,5 @@ from ais_tpu.parallel.pipeline import (  # noqa: F401
     make_halo_exchange_demod,
     make_sharded_demod,
     make_sharded_stream_demod,
+    make_sharded_wire_pipeline,
 )

@@ -108,6 +108,74 @@ def make_halo_exchange_demod(
     return jax.jit(sharded)
 
 
+def make_sharded_wire_pipeline(
+    wcfg,
+    n_in: int,
+    mesh: jax.sharding.Mesh,
+    fmt: str = "cr1",
+    time_axis: str = "time",
+):
+    """Shard the BENCHED wire program — wire-byte decode -> channelize ->
+    demod -> d2h record pack — over the mesh's `time` axis (VERDICT r4
+    item 7: the dryrun previously lowering-checked only the demod half).
+
+    Each shard owns one full overlap-save wire step: raw span
+    [d*step_raw, d*step_raw + n_in), exactly the fan's step contract
+    (pipeline/multiproc.py), so the program needs zero collectives —
+    halos are duplicated at framing time and the core-ownership rule
+    partitions the packet set.  Per-shard mixer phases ride in as a
+    sharded (n_shards, n_offsets) array (phase continuity is a function
+    of the absolute stream position, receiver.stage_wire).
+
+    `wcfg` is a WidebandConfig; honors `wcfg.compact_lanes` so the
+    sharded fetch is the same compacted payload the single-chip bench
+    ships.  Returns a jitted fn:
+      (raw (n_shards, wire_bytes), phase0s (n_shards, n_off),
+       carriers, hf) -> (n_shards, flat_len) uint8
+    whose rows decode with WidebandReceiver.decode_fetched — packet-set
+    equality vs the single-device stream is asserted in
+    tests/test_parallel.py.
+    """
+    from ais_tpu.ops.convert import (
+        iq_from_bytes_ci8,
+        iq_from_bytes_cr1,
+    )
+    from ais_tpu.pipeline.wideband import (
+        make_wideband_fns,
+        pack_wire_compact,
+        pack_wire_flat,
+    )
+
+    chan, demod = make_wideband_fns(wcfg, n_in)
+    fftlen = wcfg.demod.fftlen
+    if fmt == "cr1":
+        conv = lambda raw: iq_from_bytes_cr1(raw, n_in)  # noqa: E731
+    elif fmt == "ci8":
+        conv = iq_from_bytes_ci8
+    else:
+        raise ValueError(f"sharded wire pipeline supports cr1/ci8, not {fmt}")
+
+    def local(raw, ph, car, hf):
+        # shard_map hands each shard its (1, ...) block of the sharded
+        # leading axis; the wire program is rank-1 per shard.
+        rec = demod(chan(conv(raw[0]), ph[0], car, hf))
+        flat = (
+            pack_wire_compact(rec, fftlen, wcfg.compact_lanes)
+            if wcfg.compact_lanes
+            else pack_wire_flat(rec, fftlen)
+        )
+        return flat[None]
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(time_axis), P(time_axis), P(), P()),
+        out_specs=P(time_axis),
+        check_vma=False,  # see make_sharded_demod
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_stream_demod(
     cfg: DemodConfig,
     block_len: int,

@@ -211,3 +211,107 @@ class TestSustainedStreaming:
         rest = _stream_with_packets([], sd.step, seed=7)
         got = sd.process(rest)
         assert len(got) == 1 and abs(got[0].abs_sample - 2000) < 64
+
+
+class TestWirePipelineSharded:
+    def test_wire_program_packet_set_equality(self, eight_devices):
+        """The BENCHED wire program (cr1 decode -> channelize -> demod ->
+        compacted d2h pack) sharded over a 4-device time mesh decodes
+        the identical packet set to the single-device stream over the
+        same spans (VERDICT r4 item 7: the dryrun previously covered
+        only the demod half)."""
+        from ais_tpu.ops.convert import host_bytes
+        from ais_tpu.ops.fir import mixer_phase
+        from ais_tpu.parallel import make_sharded_wire_pipeline
+        from ais_tpu.pipeline.wideband import (
+            WidebandConfig,
+            WidebandReceiver,
+            channelizer_buffers,
+            num_taps,
+        )
+        from ais_tpu.tx.scenario import Scenario, ScenarioPacket
+
+        n_shards = 4
+        # Wider transition: fewer channelizer taps, same topology.
+        cfg = WidebandConfig(transition_hz=12e3)._replace(compact_lanes=48)
+        n48 = cfg.block_len  # one demod block per shard
+        rx = WidebandReceiver(
+            cfg, n_in=(n48 - 1) * cfg.decimation + num_taps(cfg)
+        )
+        n_in, step_raw = rx.n_in, rx.step_raw
+        assert step_raw % 8 == 0 and n_in % 8 == 0  # cr1 byte alignment
+
+        total = step_raw * n_shards + (n_in - step_raw)
+        raw = aivdm_payload_to_bytes(PAYLOAD)
+        packets = [
+            ScenarioPacket(
+                raw,
+                40_000 + d * step_raw + 11_000 * d,
+                cfg.offsets_hz[d % 2],
+                phase=0.3 * d,
+            )
+            for d in range(n_shards)
+        ]
+        iq = Scenario(
+            sample_rate=cfg.input_rate,
+            n_samples=total,
+            packets=packets,
+            noise=0.004,
+        ).build()
+        wire = host_bytes((iq * 0.7).astype(np.complex64), "cr1")
+
+        spans = [
+            np.array(wire[d * step_raw // 8 : d * step_raw // 8 + n_in // 8])
+            for d in range(n_shards)
+        ]
+        want = []
+        for span in spans:
+            want.extend(rx.decode_wire(span, "cr1"))
+        want_set = sorted(
+            (p.payload, p.abs_sample, p.designator) for p in want
+        )
+        assert len(want) >= n_shards  # the scene itself decodes
+
+        mesh = make_time_mesh(n_shards)
+        fn = make_sharded_wire_pipeline(cfg, n_in, mesh, fmt="cr1")
+        car, hf = channelizer_buffers(cfg, n_in)
+        ph = np.stack(
+            [
+                np.stack(
+                    [
+                        mixer_phase(off, cfg.input_rate, d * step_raw)
+                        for off in cfg.offsets_hz
+                    ]
+                )
+                for d in range(n_shards)
+            ]
+        )
+        out = np.asarray(
+            fn(
+                jax.device_put(
+                    np.stack(spans), NamedSharding(mesh, P("time"))
+                ),
+                jax.device_put(ph, NamedSharding(mesh, P("time"))),
+                jax.device_put(car),
+                jax.device_put(hf),
+            )
+        )
+
+        rx2 = WidebandReceiver(cfg, n_in=n_in)
+        got = []
+        for d in range(n_shards):
+            got.extend(
+                rx2.decode_fetched(
+                    (
+                        out[d],
+                        (d * step_raw) // cfg.decimation,
+                        spans[d],
+                        "cr1",
+                        d * step_raw,
+                    )
+                )
+            )
+        got_set = sorted(
+            (p.payload, p.abs_sample, p.designator) for p in got
+        )
+        assert got_set == want_set
