@@ -530,8 +530,8 @@ def host_bytes(
     dither for free from thermal noise).  Deterministic (fixed seed).
 
     `headroom`: override the sigma-delta loop headroom for ci1/cr1
-    (defaults CI1_HEADROOM / CR1_HEADROOM; tools/cr1_headroom_sweep.py
-    measures the margin the defaults sit in).
+    (defaults CI1_HEADROOM / CR1_HEADROOM; tools/wire_sweep.py measures
+    the margin the defaults sit in — WIRE.md).
     """
     if fmt in ("ci16", "cs16"):
         i = np.round(np.clip(iq.real, -1, 1 - 1 / 32768) * 32768).astype("<i2")

@@ -42,8 +42,12 @@ def make_sharded_demod(
         in_specs=P(time_axis),
         out_specs=P(time_axis),
         # pallas_call outputs can't declare varying-across-mesh types, so
-        # the vma check rejects the TPU kernel path; correctness is covered
-        # by the bit-identity tests in test_parallel.py.
+        # the vma check rejects the TPU kernel path.  The hatch is
+        # unconditional (jit caches per-callable, and the kernel path is
+        # chosen inside the traced fn), which also disables the spec
+        # check on non-pallas backends — the bit-identity and packet-set
+        # equality tests in test_parallel.py are the guard for ALL
+        # backends (advisor r4).
         check_vma=False,
     )
     return jax.jit(fn)

@@ -124,6 +124,13 @@ def _inner(spec: str, out_path: str, ref_path: str | None) -> int:
     np.savez(out_path, **leaves)
     if ref_path:
         ref = np.load(ref_path)
+        if "packets" not in ref:
+            print(
+                f"[{spec}] reference {ref_path} predates the packet-set "
+                f"criterion (no 'packets' key) — regenerate the CPU "
+                f"reference with this probe version"
+            )
+            return 1
         # Pass criterion: the record table (valid/position) and the
         # DECODED PACKET SET must match exactly — that's what a user of
         # the receiver observes.  Raw bit planes are informational only:
