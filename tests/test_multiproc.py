@@ -150,8 +150,11 @@ def test_fan_parent_pump_and_wait_ready():
     - parent_pump() runs the caller's thread as one more fan worker
       over the parent's own receiver, and the combined packet set still
       equals the single-process decode exactly.
+
+    Runs with valid-lane d2h compaction on (the bench's configuration),
+    so the fan + compact combination is covered end-to-end.
     """
-    cfg = WidebandConfig()
+    cfg = WidebandConfig()._replace(compact_lanes=48)
     n48 = cfg.block_len + cfg.core_len
     n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
 
