@@ -909,6 +909,17 @@ class WidebandReceiver:
         st["steps"] += 1
         return packets
 
+    def reset_dedup(self) -> None:
+        """Forget dedup history.  Needed when the caller re-decodes
+        EARLIER stream positions (the bench's fan parity window replays
+        step positions the single-process phase already decoded: a
+        surviving history entry at the same (payload, position) would
+        silently suppress the replayed packet and read as a parity
+        miss)."""
+        from ais_tpu.pipeline.host import PacketDeduper
+
+        self._dedupers = [PacketDeduper() for _ in self.cfg.offsets_hz]
+
     def reset_collect_stats(self) -> None:
         """Zero the cumulative collect-path split (call after warmup so
         per-step averages reflect steady state only)."""
