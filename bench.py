@@ -354,6 +354,14 @@ def measure(backend: str) -> int:
 
     if backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    elif jax.default_backend() == "cpu":
+        # The tunnel did not register (or came up dead): fail FAST with
+        # a clear reason instead of silently measuring CPU under the
+        # TPU label — the parent retries once and then falls back to
+        # the labeled cpu child.
+        raise RuntimeError(
+            f"tpu backend requested but devices are {jax.devices()}"
+        )
     _enable_cache(jax)
 
     from ais_tpu.pipeline.wideband import WidebandReceiver
@@ -880,6 +888,19 @@ def main() -> int:
     )
     if err:
         errors.append(err)
+    if tpu is None and _remaining() > 600:
+        # Transient tunnel failures (backend falling back mid-run, a
+        # dead compile-service episode) killed the 96-block experiment
+        # run this round; with the scene and executable caches warm a
+        # second attempt is cheap and has minutes to produce a
+        # provisional line before the CPU fallback reserve.
+        tpu, err = _run_backend(
+            "tpu",
+            DEADLINE - 45,
+            soft_deadline=time.time() + max(120.0, _remaining() - 360),
+        )
+        if err:
+            errors.append(err)
     if tpu is not None:
         _BEST = tpu
         if errors:
