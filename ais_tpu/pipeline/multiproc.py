@@ -123,17 +123,27 @@ def _worker_main(
         # (~150 s per worker either way), and holding the lock means a
         # straggler still warming while ready workers already measure
         # (start(min_ready=...)) cannot thrash their locked executions.
-        # A zeros wire keeps the warmup h2d/host halves near-free.
+        # RANDOM wire bytes, not zeros: a zeros cr1/ci1 wire decodes to
+        # a constant ±1 lattice whose correlator fires ~31 peaks per
+        # block — overflowing the burst table in EVERY block and sending
+        # the warmup through block-by-block host recovery.  Random bits
+        # decode to wideband noise the 0.9-of-autocorr threshold
+        # rejects, so the warmup's host half stays near-free (and the
+        # incompressible bytes also exercise the real h2d path).
+        warm_wire = np.random.default_rng(1).integers(
+            0, 256, size=wire_nbytes, dtype=np.uint8
+        )
         try:
             if exec_lock is not None:
                 exec_lock.acquire()
             try:
-                rx.decode_wire(np.zeros(wire_nbytes, dtype=np.uint8), fmt)
+                rx.decode_wire(warm_wire, fmt)
             finally:
                 if exec_lock is not None:
                     exec_lock.release()
         except Exception:  # noqa: BLE001 — warmup is an optimization only
             pass
+        del warm_wire
         out_q.put(("ready", None, {"h2d_mbps": h2d_mbps}))
 
         def stage(item):

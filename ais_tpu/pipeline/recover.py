@@ -143,7 +143,16 @@ def _recover_demod(demod_cfg, block_len: int, core_len: int, n_detected: int):
     k2 = _MIN_RECOVER_K
     while k2 < n_detected and k2 < _MAX_RECOVER_K:
         k2 *= 2
-    cfg2 = dataclasses.replace(demod_cfg, max_bursts_per_block=k2)
+    # corr_path pinned to "fft": recovery executes under
+    # jax.default_device(cpu) (below) while jax.default_backend() still
+    # reports the accelerator, so an "auto"/"pallas" correlator would
+    # trace a pallas_call and die in the CPU lowering ("Only interpret
+    # mode is supported on CPU backend") — which silently broke EVERY
+    # overflow recovery on the TPU backend until the round-5 96-block
+    # bench run tripped it.
+    cfg2 = dataclasses.replace(
+        demod_cfg, max_bursts_per_block=k2, corr_path="fft"
+    )
     return jit_burst_demod(cfg2, block_len, core_len), cfg2
 
 

@@ -265,19 +265,25 @@ def _geometry():
         demod=dataclasses.replace(cfg.demod, max_bursts_per_block=24)
     )
     # Valid-lane d2h compaction (pipeline/wideband.py:pack_wire_compact):
-    # full load measures ~1300-1500 valid lanes of the 3072-lane table
-    # (1174 packets + correlator double-fires), so 1792 holds the peak
-    # with ~20% margin while cutting the record fetch ~45%; blocks
-    # beyond the bound would re-demod host-side via overflow recovery.
-    # AIS_TPU_COMPACT_LANES=0 restores the dense fetch.
-    cl = int(os.environ.get("AIS_TPU_COMPACT_LANES", "1792"))
-    cfg = cfg._replace(compact_lanes=cl)
+    # full load measures ~1300-1500 valid lanes of the 64-block
+    # 3072-lane table (1174 packets + correlator double-fires), i.e.
+    # ~11 per (channel, block) — 14/block-channel holds the peak with
+    # ~25% margin while cutting the record fetch ~45%.  The bound MUST
+    # scale with the call geometry (a fixed 1792 overflowed the
+    # directory on every step of a 96-block call, sending every block
+    # through host-side recovery).  Steps beyond the bound re-demod the
+    # affected blocks via overflow recovery.  AIS_TPU_COMPACT_LANES=0
+    # restores the dense fetch.
     # ~64 demod blocks per device call (~16 s of air time): the tunnel
     # charges ~20-25 ms fixed dispatch latency per call, so bigger calls
     # lift the exec ceiling (310 -> 580 Msps exec-only from 16 -> 64
     # blocks); with the batched host decode the back half no longer
     # penalizes large fetches.
     n_blocks = int(os.environ.get("AIS_TPU_BENCH_BLOCKS", "64"))
+    cl = int(
+        os.environ.get("AIS_TPU_COMPACT_LANES", str(14 * 2 * n_blocks))
+    )
+    cfg = cfg._replace(compact_lanes=cl)
     n48 = cfg.block_len + cfg.core_len * (n_blocks - 1)
     n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
     return cfg, n_in

@@ -112,3 +112,26 @@ def test_host_wire_decode_matches_device(fmt, dev):
     want = np.asarray(dev(wire))
     got = host_iq_from_wire(wire, fmt)
     np.testing.assert_array_equal(got, want)
+
+
+def test_recover_demod_pins_cpu_safe_corr_path():
+    """Overflow recovery executes under jax.default_device(cpu) while
+    the process backend may be an accelerator: an "auto" corr path
+    resolves against jax.default_backend() and would trace a
+    pallas_call that dies in the CPU lowering ("Only interpret mode is
+    supported on CPU backend") — which silently broke every overflow
+    recovery on the TPU backend until round 5's 96-block bench run
+    tripped it.  The escalated-table config must pin the FFT
+    correlator."""
+    import dataclasses
+
+    from ais_tpu.pipeline.recover import _recover_demod
+    from ais_tpu.pipeline.wideband import WidebandConfig
+
+    cfg = WidebandConfig()
+    demod = dataclasses.replace(
+        cfg.demod, samples_per_symbol=cfg.sps, corr_path="auto"
+    )
+    _fn, cfg2 = _recover_demod(demod, cfg.block_len, cfg.core_len, 31)
+    assert cfg2.corr_path == "fft"
+    assert cfg2.max_bursts_per_block >= 31
