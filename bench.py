@@ -274,12 +274,16 @@ def _geometry():
     # through host-side recovery).  Steps beyond the bound re-demod the
     # affected blocks via overflow recovery.  AIS_TPU_COMPACT_LANES=0
     # restores the dense fetch.
-    # ~64 demod blocks per device call (~16 s of air time): the tunnel
+    # ~96 demod blocks per device call (~24 s of air time): the tunnel
     # charges ~20-25 ms fixed dispatch latency per call, so bigger calls
     # lift the exec ceiling (310 -> 580 Msps exec-only from 16 -> 64
-    # blocks); with the batched host decode the back half no longer
-    # penalizes large fetches.
-    n_blocks = int(os.environ.get("AIS_TPU_BENCH_BLOCKS", "64"))
+    # blocks); with the batched host decode and the compacted fetch the
+    # back half no longer penalizes large calls.  Measured r5 on the
+    # fan: 64 blocks 246.1 best / 190.7 median, 96 blocks 291.7 best /
+    # 269.3 median (exec_ms/sample drops ~18% — the fixed dispatch
+    # amortizes); r4's 128-block attempt lost at the pre-compaction
+    # fetch sizes.
+    n_blocks = int(os.environ.get("AIS_TPU_BENCH_BLOCKS", "96"))
     cl = int(
         os.environ.get("AIS_TPU_COMPACT_LANES", str(14 * 2 * n_blocks))
     )
