@@ -378,6 +378,7 @@ def wire_format_envelope(
     tiny = 1e-30
     ch_peak = [0.0] * len(offsets)
     ch_active = [False] * len(offsets)
+    ch_dominant = [False] * len(offsets)
     ch_snr = [-99.0] * len(offsets)
     interferer_db = -np.inf
     # A transmission's own spectral skirt lands in the ADJACENT channel
@@ -402,6 +403,12 @@ def wire_format_envelope(
             if p > 0.0 and p > SKIRT_BOUND * strongest:
                 ch_active[ci] = True
                 ch_peak[ci] = max(ch_peak[ci], p)
+                if p == strongest:
+                    # Dominant in its own slot's chunk: a genuine
+                    # transmission, however weak globally (AIS is TDMA —
+                    # a far vessel owns its slot while the near one is
+                    # silent).  Exempt from the global skirt post-pass.
+                    ch_dominant[ci] = True
                 nb = int(m.sum())
                 ch_snr[ci] = max(
                     ch_snr[ci],
@@ -419,12 +426,20 @@ def wire_format_envelope(
     # ramp transient sees little of the carrier and lets the ramp's
     # wideband splatter register the OTHER channel as active (with the
     # 75%-overlap chunking this happens reliably).  A channel whose
-    # best showing across the whole capture is still below -40 dBc of
-    # the strongest channel's best showing is skirt/splatter, not a
-    # transmission.
+    # best showing across the whole capture is below -40 dBc of the
+    # strongest channel's best showing AND that was never the dominant
+    # in-band channel of any chunk is skirt/splatter, not a
+    # transmission.  The dominance exemption keeps a genuine far vessel
+    # (own TDMA slot, arbitrarily weak globally) active, so an extreme
+    # near-far capture still takes the ci8 fallback it needs (reviewer
+    # r5: the unconditioned post-pass silently bypassed it).
     strongest_peak = max(ch_peak)
     for ci, p in enumerate(ch_peak):
-        if ch_active[ci] and p < SKIRT_BOUND * strongest_peak:
+        if (
+            ch_active[ci]
+            and not ch_dominant[ci]
+            and p < SKIRT_BOUND * strongest_peak
+        ):
             ch_active[ci] = False
             ch_snr[ci] = -99.0
     act = [p for p, a in zip(ch_peak, ch_active) if a]

@@ -90,16 +90,13 @@ class DistributedBlockDecoder:
             # 2-process sustained efficiency.
             import jax.numpy as jnp
 
-            from ais_tpu.pipeline.wideband import pack_wire_records
+            from ais_tpu.pipeline.wideband import (
+                le4_bytes as le4,
+                pack_wire_records,
+            )
 
             w = pack_wire_records(rec, demod.fftlen, valid_as_run=True)
             B, K = w.meta_i.shape[:2]
-
-            def le4(x_i32):
-                return jnp.stack(
-                    [(x_i32 >> s) & 255 for s in (0, 8, 16, 24)], axis=-1
-                ).astype(jnp.uint8)
-
             bi = le4(w.meta_i).reshape(B, K * 24)
             bf = le4(
                 jax.lax.bitcast_convert_type(w.meta_f, jnp.int32)

@@ -53,6 +53,32 @@ from ais_tpu.pipeline.host import DecodedPacket
 from ais_tpu.pipeline.wideband import WidebandConfig, num_taps, wideband_geometry
 
 
+def _step_result(step_idx, epoch, pkts, timings: dict, nbytes: int):
+    """The out-queue 'pkts' message — ONE builder shared by the worker
+    processes and the parent pump so the step protocol (packet tuple
+    fields, stats keys, epoch tag) cannot drift between the two."""
+    return (
+        "pkts",
+        step_idx,
+        {
+            "epoch": epoch,
+            "packets": [
+                (
+                    p.payload,
+                    p.abs_sample,
+                    p.designator,
+                    p.corr_mag,
+                    p.freq_est_hz,
+                    p.rssi,
+                )
+                for p in pkts
+            ],
+            **timings,
+            "wire_bytes": nbytes,
+        },
+    )
+
+
 def _worker_main(
     cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q, n_workers=1
 ):
@@ -147,10 +173,11 @@ def _worker_main(
         out_q.put(("ready", None, {"h2d_mbps": h2d_mbps}))
 
         def stage(item):
-            step_idx, wire = item
+            step_idx, wire, epoch = item
             t0 = _time.perf_counter()
             st = rx.stage_wire(wire, fmt, pos=step_idx * rx.step_raw)
-            return (step_idx, st, wire.nbytes, _time.perf_counter() - t0)
+            return (step_idx, epoch, st, wire.nbytes,
+                    _time.perf_counter() - t0)
 
         staged_next = None
         closing = False
@@ -164,7 +191,7 @@ def _worker_main(
                 if item is None:
                     return
                 cur = stage(item)
-            step_idx, staged, nbytes, stage_s = cur
+            step_idx, epoch, staged, nbytes, stage_s = cur
             t0 = _time.perf_counter()
             jax.block_until_ready(staged[0])  # own-connection h2d drain
             t1 = _time.perf_counter()
@@ -219,39 +246,27 @@ def _worker_main(
                 stage_thread.join()  # excess beyond host decode -> stage_s
                 staged_next = box[0]
             t7 = _time.perf_counter()
+            # Phase split for the parent's profile.  With serialize_exec
+            # the phases are clean: exec_s is dispatch + execution wait
+            # under the lock, fetch_s is d2h only, transfer_wait_s is
+            # time actually BLOCKED on the h2d (0 when the pipelined
+            # prefetch fully hid it); stage_s is this step's own
+            # (threaded) h2d-enqueue CPU time plus any join wait its
+            # successor's stage added beyond the host decode this cycle.
             out_q.put(
-                (
-                    "pkts",
+                _step_result(
                     step_idx,
+                    epoch,
+                    pkts,
                     {
-                        "packets": [
-                            (
-                                p.payload,
-                                p.abs_sample,
-                                p.designator,
-                                p.corr_mag,
-                                p.freq_est_hz,
-                                p.rssi,
-                            )
-                            for p in pkts
-                        ],
-                        # Phase split for the parent's profile.  With
-                        # serialize_exec the phases are clean: exec_s is
-                        # dispatch + execution wait under the lock,
-                        # fetch_s is d2h only, transfer_wait_s is time
-                        # actually BLOCKED on the h2d (0 when the
-                        # pipelined prefetch fully hid it).
                         "transfer_wait_s": t1 - t0,
                         "lock_wait_s": t2 - t1,
                         "exec_s": t3 - t2,
                         "fetch_s": t4 - t3,
-                        # stage_s: this step's own (threaded) h2d-enqueue
-                        # CPU time, plus any join wait its successor's
-                        # stage added beyond the host decode this cycle.
                         "stage_s": (t5 - t4) + (t7 - t6) + stage_s,
                         "host_s": t6 - t5,
-                        "wire_bytes": nbytes,
                     },
+                    nbytes,
                 )
             )
     except Exception as e:  # noqa: BLE001 — surface worker death to parent
@@ -364,6 +379,15 @@ class MultiProcessWideband:
         }
         self.h2d_mbps: list[float] = []
         self._ready = 0  # workers warm so far (late joiners counted in collect)
+        # Window epoch: submissions are tagged, and collect() ignores
+        # results from epochs abandoned by abandon_outstanding() — a
+        # worker that was mid-step when a window failed must not have
+        # its late result counted against the NEXT window's accounting
+        # (reviewer r5: the stale result skewed every later window).
+        self._epoch = 0
+        # Step results that arrived while wait_ready() was polling: held
+        # for collect() instead of being misread as 'ready' messages.
+        self._stash: list = []
 
     def launch(self) -> None:
         """Start the worker processes WITHOUT waiting for warmup.
@@ -416,11 +440,17 @@ class MultiProcessWideband:
             if left <= 0:
                 break
             try:
-                kind, _, payload = self._out_q.get(timeout=left)
+                kind, step, payload = self._out_q.get(timeout=left)
             except queue_mod.Empty:
                 break
             if kind == "error":
                 self.worker_errors.append(str(payload))
+                continue
+            if kind == "pkts":
+                # A step result, not a warm-up signal: hold it for
+                # collect() (counting it as 'ready' would both inflate
+                # the warm count and lose the step's packets).
+                self._stash.append((kind, step, payload))
                 continue
             if isinstance(payload, dict) and payload.get("h2d_mbps"):
                 self.h2d_mbps.append(round(payload["h2d_mbps"], 1))
@@ -472,7 +502,9 @@ class MultiProcessWideband:
             if item is None:  # a worker's shutdown sentinel: hand it back
                 self._in_q.put(None)
                 return done
-            step_idx, wire = item
+            step_idx, wire, epoch = item
+            if epoch != self._epoch:
+                continue  # leftover from an abandoned window: discard
             t0 = time_mod.perf_counter()
             staged = rx.stage_wire(wire, self.fmt, pos=step_idx * rx.step_raw)
             t0b = time_mod.perf_counter()
@@ -493,40 +525,36 @@ class MultiProcessWideband:
             pkts = rx.decode_fetched(fetched)
             t5 = time_mod.perf_counter()
             self._out_q.put(
-                (
-                    "pkts",
+                _step_result(
                     step_idx,
+                    epoch,
+                    pkts,
                     {
-                        "packets": [
-                            (
-                                p.payload,
-                                p.abs_sample,
-                                p.designator,
-                                p.corr_mag,
-                                p.freq_est_hz,
-                                p.rssi,
-                            )
-                            for p in pkts
-                        ],
                         "transfer_wait_s": t1 - t0b,
                         "lock_wait_s": t2 - t1,
                         "exec_s": t3 - t2,
                         "fetch_s": t4 - t3,
                         "stage_s": t0b - t0,
                         "host_s": t5 - t4,
-                        "wire_bytes": wire.nbytes,
                     },
+                    wire.nbytes,
                 )
             )
             done += 1
 
     def abandon_outstanding(self) -> int:
         """Forget in-flight steps after a failed window (worker death /
-        drain timeout): zero the outstanding count and drop any queued
+        drain timeout): zero the outstanding count, advance the window
+        epoch (a worker mid-step cannot be stopped — its late result
+        carries the old epoch and collect() skips it), and drop queued
         results so the NEXT window's accounting starts clean.  Returns
         how many steps were abandoned."""
         lost = self._outstanding
         self._outstanding = 0
+        self._epoch += 1
+        self._stash = [
+            (k, s, p) for (k, s, p) in self._stash if k != "pkts"
+        ]
         while True:
             try:
                 kind, _, payload = self._out_q.get_nowait()
@@ -541,7 +569,7 @@ class MultiProcessWideband:
 
     def submit(self, step_idx: int, wire: np.ndarray) -> None:
         """Enqueue one wire step (any free worker picks it up)."""
-        self._in_q.put((step_idx, wire))
+        self._in_q.put((step_idx, wire, self._epoch))
         self._outstanding += 1
 
     def collect(self, n: int | None = None, timeout: float = 600.0):
@@ -551,16 +579,24 @@ class MultiProcessWideband:
         packets = []
         collected = 0
         while collected < n:
-            try:
-                kind, _step, payload = self._out_q.get(timeout=timeout)
-            except queue_mod.Empty:
-                raise TimeoutError(
-                    f"fan collect: {n - collected}/{n} step results still "
-                    f"missing after {timeout:.0f}s "
-                    f"({self._ready}/{self.n_workers} workers warm)"
-                ) from None
+            if self._stash:
+                kind, _step, payload = self._stash.pop(0)
+            else:
+                try:
+                    kind, _step, payload = self._out_q.get(timeout=timeout)
+                except queue_mod.Empty:
+                    raise TimeoutError(
+                        f"fan collect: {n - collected}/{n} step results "
+                        f"still missing after {timeout:.0f}s "
+                        f"({self._ready}/{self.n_workers} workers warm)"
+                    ) from None
             if kind == "error":
                 raise RuntimeError(f"fan worker failed: {payload}")
+            if (
+                kind == "pkts"
+                and payload.get("epoch", self._epoch) != self._epoch
+            ):
+                continue  # abandoned window's straggler: not ours
             if kind == "ready":
                 # A straggler finished warming mid-phase (start() with
                 # min_ready): it is already pulling from the shared

@@ -167,6 +167,18 @@ def pack_wire_records(
     return WireRecords(meta_i, meta_f, packed)
 
 
+def le4_bytes(x_i32: jax.Array) -> jax.Array:
+    """int32 -> 4 little-endian uint8 bytes along a new minor axis.
+
+    Arithmetic >> then &255 extracts exact two's-complement bytes — the
+    load-bearing property for round-tripping meta over the d2h wire.
+    ONE definition for every packer (pack_wire_flat, pack_wire_compact,
+    the distributed record gather)."""
+    return jnp.stack(
+        [(x_i32 >> s) & 255 for s in (0, 8, 16, 24)], axis=-1
+    ).astype(jnp.uint8)
+
+
 def pack_wire_flat(rec: BurstRecords, fftlen: int) -> jax.Array:
     """Coalesce WireRecords into ONE 1-D uint8 buffer (device side).
 
@@ -182,15 +194,8 @@ def pack_wire_flat(rec: BurstRecords, fftlen: int) -> jax.Array:
       bytes][bits plane (C*B*K*n_pack)].
     """
     w = pack_wire_records(rec, fftlen, valid_as_run=True)
-
-    def le_bytes(x_i32: jax.Array) -> jax.Array:
-        # Arithmetic >> then &255 extracts exact two's-complement bytes.
-        return jnp.stack(
-            [(x_i32 >> s) & 255 for s in (0, 8, 16, 24)], axis=-1
-        ).astype(jnp.uint8)
-
-    bi = le_bytes(w.meta_i)
-    bf = le_bytes(jax.lax.bitcast_convert_type(w.meta_f, jnp.int32))
+    bi = le4_bytes(w.meta_i)
+    bf = le4_bytes(jax.lax.bitcast_convert_type(w.meta_f, jnp.int32))
     return jnp.concatenate([bi.ravel(), bf.ravel(), w.packed.ravel()])
 
 
@@ -254,11 +259,7 @@ def pack_wire_compact(rec: BurstRecords, fftlen: int, l_max: int) -> jax.Array:
     n_pack = w.packed.shape[-1]
     l_max = min(int(l_max), n_lanes)
     row_bytes = 24 + n_pack
-
-    def le4(x_i32):
-        return jnp.stack(
-            [(x_i32 >> s) & 255 for s in (0, 8, 16, 24)], axis=-1
-        ).astype(jnp.uint8)
+    le4 = le4_bytes
 
     def le2(x_i32):
         return jnp.stack([x_i32 & 255, (x_i32 >> 8) & 255], axis=-1).astype(

@@ -210,12 +210,13 @@ def _content_parity(found, tx_packets, decim):
     return matched / max(len(tx_packets), 1)
 
 
-def _fan_parity(found, tx_packets, decim, step_chan, n_steps):
+def _fan_parity(found, tx_packets, decim, step_chan, n_steps, base=0):
     """Content parity for a fan window that submitted wire 0 for every
-    step: step i re-decodes the whole scene shifted by i*step_chan, so
-    the full expected packet set is n_steps x tx_packets at known
-    positions.  Steps are step_chan (~750k channel samples) apart — far
-    beyond the dedup window — so no cross-step suppression occurs."""
+    step: step base+i re-decodes the whole scene shifted by
+    (base+i)*step_chan, so the full expected packet set is
+    n_steps x tx_packets at known positions.  Steps are step_chan
+    (~750k channel samples) apart — far beyond the dedup window — so no
+    cross-step suppression occurs."""
     from collections import defaultdict
 
     chan_of = {-25e3: "A", 25e3: "B"}
@@ -225,7 +226,7 @@ def _fan_parity(found, tx_packets, decim, step_chan, n_steps):
     matched = 0
     for i in range(n_steps):
         for tp in tx_packets:
-            want = i * step_chan + tp.start_sample // decim
+            want = (base + i) * step_chan + tp.start_sample // decim
             lst = by_key.get(
                 (chan_of.get(tp.offset_hz, "A"), tp.payload), []
             )
@@ -527,6 +528,12 @@ def measure(backend: str) -> int:
         "collect_split": _split(best_split),
         "pipeline_depth": best_depth,
     }
+    if fan is not None:
+        # Honest labeling: these windows deliberately run while fan
+        # workers warm (one at a time, under the exec lock), so windows
+        # colliding with a warmup execution measure a degraded shared
+        # service — best is unaffected, the median reads low.
+        detail["sp_windows_overlap_worker_warmups"] = True
     _emit(_result(msps, parity, detail))
 
     # Multi-connection ingest fan (TPU only): the tunnel's h2d channel
@@ -599,17 +606,22 @@ def measure(backend: str) -> int:
                 )
                 step_chan = rx.step_raw // cfg.decimation
 
-                def fan_window(parity_check: bool):
+                def fan_window(parity_check: bool, base: int = 0):
                     """One timed fan window; the parent thread pumps the
                     shared queue alongside the workers.  parity_check
                     windows submit only wire 0 so every step's expected
                     packet set is known exactly (mixed-wire windows keep
-                    the transport honest — no repeated bytes)."""
+                    the transport honest — no repeated bytes).  `base`
+                    offsets the step indices: a parity RETRY must replay
+                    at stream positions no deduper (parent's or any
+                    worker's) has seen, or the replayed packets would be
+                    suppressed and read as a parity miss."""
                     fan.reset_collect_stats()
                     t0 = time.time()
                     for i in range(fan_iters):
                         fan.submit(
-                            i, wires[0 if parity_check else i % N_WIRES]
+                            base + i,
+                            wires[0 if parity_check else i % N_WIRES],
                         )
                     fan.parent_pump(rx)
                     got = fan.drain(timeout=max(20.0, _remaining() - 40))
@@ -617,7 +629,7 @@ def measure(backend: str) -> int:
                     p = (
                         _fan_parity(
                             got, tx_packets, cfg.decimation, step_chan,
-                            fan_iters,
+                            fan_iters, base=base,
                         )
                         if parity_check
                         else None
@@ -637,9 +649,12 @@ def measure(backend: str) -> int:
                         # single-process phase already decoded on the
                         # parent's receiver: drop its dedup history so a
                         # surviving same-position entry cannot read as a
-                        # parity miss.
+                        # parity miss; the retry additionally shifts to
+                        # step indices no deduper has ever seen.
                         rx.reset_dedup()
-                        dt0, fan_parity = fan_window(parity_check=True)
+                        dt0, fan_parity = fan_window(
+                            parity_check=True, base=_attempt * 4096
+                        )
                         fan_detail["fan_parity"] = round(fan_parity, 4)
                         fan_detail["fan_parity_window_msps"] = round(
                             n_in * fan_iters / dt0 / 1e6, 1

@@ -166,3 +166,27 @@ class TestSensitivityGate:
             assert len(act) == 2, (ebn0, env)
             for s in act:
                 assert abs(s - (ebn0 - 3.9)) < 1.5, (ebn0, act)
+
+
+class TestSeparatedSlotNearFar:
+    def test_far_vessel_in_own_slot_still_trips_near_far(self, geometry):
+        """TDMA reality check (reviewer r5): the near and far vessels
+        transmit in DIFFERENT slots, so the far one is globally ~45 dB
+        down but dominant in its own slot's chunks.  The skirt post-pass
+        must keep it active (dominance exemption) so the 45 dB near-far
+        capture still takes the ci8 fallback."""
+        _cfg, n_in = geometry
+        raw = aivdm_payload_to_bytes(PAYLOAD)
+        iq = Scenario(
+            sample_rate=2.4e6, n_samples=n_in, noise=1e-4,
+            packets=[
+                ScenarioPacket(raw, 200_000, +25e3, amplitude=0.8),
+                ScenarioPacket(
+                    raw, 800_000, -25e3,
+                    amplitude=0.8 * 10 ** (-45 / 20), phase=0.9,
+                ),
+            ],
+        ).build()
+        fmt, reason = select_wire_format(iq, "cr1")
+        assert fmt == "ci8", reason
+        assert "near-far" in reason
