@@ -316,6 +316,39 @@ def main() -> int:
             f"deployments below ~18 dB should prefer ci1 (2 bits/sample) "
             f"over cr1, or the linear formats.\n"
         )
+        # The sensitivity-gate section is part of the generated document
+        # so a regeneration never drops it (the crossover itself is
+        # pinned by tests/test_wire_select.py, which fails if the gate
+        # or its calibration drifts from what this text claims).
+        f.write(
+            "\n## Sensitivity gate (select_wire_format, round 5)\n\n"
+            "`select_wire_format` checks the one measured envelope the "
+            "round-4 guard did not: proximity to the AWGN decode floor, "
+            "where the table above shows cr1 losing packets (0.48 vs "
+            "1.00 at 16 dB).  The per-chunk PSD the envelope already "
+            "computes yields an in-band SNR proxy per channel "
+            "(`channel_snr_db`, calibrated `~ Eb/N0 - 3.9 dB` with unit "
+            "slope over 10-30 dB, pinned by tests/test_wire_select.py); "
+            "when the weakest ACTIVE channel sits below `min_snr_db` "
+            "(default 15.5 dB ~ Eb/N0 19.4 dB), a cr1 preference falls "
+            "back to **ci1** — the same sigma-delta family at 2x the "
+            "bytes but float-equivalent sensitivity — not ci8.  "
+            "Measured crossover on single-packet AWGN scenes (the "
+            "table's convention):\n\n"
+            "| Eb/N0 (dB) | 14 | 16 | 18 | 20 | 22 | 24 |\n"
+            "|---|---|---|---|---|---|---|\n"
+            "| selected format | ci1 | ci1 | ci1 | cr1 | cr1 | cr1 |\n\n"
+            "The switch point coincides with cr1's measured "
+            ">=95%-success floor (20 dB): captures that cr1 would "
+            "decode cleanly keep the half-size wire, captures beneath "
+            "the floor ride ci1.  An idle channel never trips the "
+            "gate; a burst-ramp transient no longer registers the twin "
+            "channel as active (75%-overlap PSD chunks + a global "
+            "-40 dBc skirt bound with a per-chunk dominance "
+            "exemption, so a genuine far vessel in its own TDMA slot "
+            "stays active and extreme near-far still falls back to "
+            "ci8).\n"
+        )
     print(f"wrote {args.out}")
     return 0
 
