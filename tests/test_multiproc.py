@@ -191,3 +191,51 @@ def test_fan_parent_pump_and_wait_ready():
     # single worker is still compiling, so it takes at least one step).
     assert pumped >= 1
     assert fan.abandon_outstanding() == 0
+
+
+def test_fan_epoch_isolation_after_abandon():
+    """abandon_outstanding() must fence a failed window: a step that was
+    in flight when the window was abandoned produces a result tagged
+    with the OLD epoch, and the next window's drain must skip it — not
+    count it toward its own steps (reviewer r5: the stale result skewed
+    every subsequent window's accounting)."""
+    cfg = WidebandConfig()
+    n48 = cfg.block_len + cfg.core_len
+    n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
+
+    fan = MultiProcessWideband(cfg, n_in=n_in, n_workers=1, platform="cpu")
+    n_steps = 4
+    total = fan.step_raw * n_steps + (fan.n_in - fan.step_raw)
+    wire, _tx = _capture(cfg, total)
+    steps = [
+        np.array(s) for _i, s in wire_steps(wire, fan.n_in, fan.step_raw)
+    ]
+
+    try:
+        fan.start(timeout=300.0)
+        # Window 1 completes normally.
+        fan.submit(0, steps[0])
+        got1 = fan.drain(timeout=600.0)
+        assert fan.collect_stats["steps"] == 1
+
+        # "Failed" window: submit a step, then abandon before collecting.
+        # The worker still processes it and emits an old-epoch result.
+        fan.submit(1, steps[1])
+        assert fan.abandon_outstanding() == 1
+
+        # Fresh window: exactly its own two steps must be collected; the
+        # stale result (arriving first, FIFO) must be skipped.
+        fan.reset_collect_stats()
+        fan.submit(2, steps[2])
+        fan.submit(3, steps[3])
+        got2 = fan.drain(timeout=600.0)
+    finally:
+        fan.close()
+    assert fan.collect_stats["steps"] == 2
+    # Packets from the fresh window only: every position is inside
+    # steps 2-3's span (the abandoned step 1's packets never leak in).
+    lo = 2 * fan.step_raw // cfg.decimation
+    assert all(p.abs_sample >= lo - 400 for p in got2), [
+        p.abs_sample for p in got2
+    ]
+    assert got1  # window 1 decoded something (scene covers step 0)
