@@ -418,13 +418,24 @@ def wire_channelizer_supported(fmt: str, ntaps: int, decim: int,
 
 
 def wire_channelizer_buffers(fmt: str, taps: np.ndarray, decim: int,
-                             offsets_hz, sample_rate: float):
+                             offsets_hz, sample_rate: float,
+                             m_mult: int = 1):
     """(carrier tile, tap matrix) with lanes permuted for `fmt`'s decode
     order.  Carrier is row-major here: (n_chan, 2, span, D_perm) — for
     ci1, (n_chan, 2, span/2, 2*D_perm) over 2-row units, and the tap
     matrix becomes the two anti-diagonal HALVES (2, lanes, P2_pad): see
-    `_wire_kernel_ci1`."""
+    `_wire_kernel_ci1`.
+
+    `m_mult` (cr1 only) multiplies the output tile m — fewer, fatter
+    grid tiles amortizing Mosaic's per-tile overhead.  An integer
+    multiple keeps every invariant: carrier periodicity over the tile
+    advance (m*decim stays a whole number of carrier cycles), mR % 128
+    (Mosaic minor-dim rule) and mR % bhR (halo index map).  The carrier
+    tile grows to (n_chan, 2, (m_mult*m + b_h)/R, lanes) — VMEM-bound,
+    ~1.3 MB per unit of m_mult at the production geometry."""
     t = np.asarray(taps, np.float32)
+    if m_mult != 1 and fmt != "cr1":
+        raise ValueError("m_mult > 1 is only implemented for cr1")
     if fmt == "cr1":
         # IF-shifted carriers (off + fs/4 — the (-j)^n downconversion
         # folded in), unit geometry R rows/unit, anti-diagonal R-way
@@ -433,7 +444,7 @@ def wire_channelizer_buffers(fmt: str, taps: np.ndarray, decim: int,
         R = _cr1_unit_rows(decim)
         eff = tuple(o + float(sample_rate) / 4.0 for o in offsets_hz)
         m, b_h, _, _ = _geometry(t.size, decim, eff, float(sample_rate))
-        m = _cr1_m(m, R)
+        m = _cr1_m(m, R) * int(m_mult)
         span = m + b_h
         lanes = decim * R
         perm = _cr1_unit_perm(decim)
@@ -618,7 +629,7 @@ def _wire_kernel_cr1(mR: int, bhR: int, pR_pad: int, R: int, n_chan: int):
 
 def _pallas_wire_channelizer_cr1(
     raw_u8, phase0s, car_pat, g_mat, *, ntaps, decim, offsets, rate,
-    n_in, interpret,
+    n_in, interpret, m_mult=1,
 ):
     if not wire_channelizer_supported("cr1", ntaps, decim, offsets, rate,
                                       n_in):
@@ -626,7 +637,7 @@ def _pallas_wire_channelizer_cr1(
     R = _cr1_unit_rows(decim)
     eff = tuple(o + float(rate) / 4.0 for o in offsets)
     m, b_h, _, _ = _geometry(int(ntaps), int(decim), eff, float(rate))
-    m = _cr1_m(m, R)
+    m = _cr1_m(m, R) * int(m_mult)
     lanes = decim * R
     bpr_u = lanes // 8  # wire bytes per unit
     mR, bhR = m // R, b_h // R
@@ -783,6 +794,7 @@ def pallas_wire_channelizer(
     rate: float,
     n_in: int,
     interpret: bool | None = None,
+    m_mult: int = 1,
 ) -> jax.Array:
     """Packed integer IQ wire bytes -> (n_chan, n_out) channels, fused.
 
@@ -790,9 +802,13 @@ def pallas_wire_channelizer(
     bytes, ci4: n_in bytes); `car_pat`/`h_mat` from
     `wire_channelizer_buffers(fmt, ...)`.  Replaces
     `iq_from_bytes_*` + `freq_xlating_polyphase` in the wire program.
+    `m_mult` must match the value the buffers were built with (cr1
+    only; see `wire_channelizer_buffers`).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if m_mult != 1 and fmt != "cr1":
+        raise ValueError("m_mult > 1 is only implemented for cr1")
     if fmt == "ci1":
         return _pallas_wire_channelizer_ci1(
             raw_u8, phase0s, car_pat, h_mat, ntaps=ntaps, decim=decim,
@@ -802,6 +818,7 @@ def pallas_wire_channelizer(
         return _pallas_wire_channelizer_cr1(
             raw_u8, phase0s, car_pat, h_mat, ntaps=ntaps, decim=decim,
             offsets=offsets, rate=rate, n_in=n_in, interpret=interpret,
+            m_mult=m_mult,
         )
     geo = _geometry(int(ntaps), int(decim), tuple(offsets), float(rate))
     if geo is None or fmt not in _WIRE_PERMS:

@@ -729,8 +729,19 @@ class WidebandReceiver:
                 # Fully fused ingest: bytes -> decode -> mix -> polyphase
                 # in one Pallas pass (the XLA unpack alone costs more
                 # than the whole kernel — see tools/tpu_exec_profile.py).
+                # AIS_TPU_WIRE_M_MULT (cr1 only) grows the kernel's
+                # output tile by an integer factor — fewer, fatter grid
+                # tiles amortizing per-tile overhead; bit-equivalent
+                # output (pallas_fir.wire_channelizer_buffers).
+                import os as _os
+
+                m_mult = (
+                    int(_os.environ.get("AIS_TPU_WIRE_M_MULT", "1"))
+                    if kfmt == "cr1" else 1
+                )
                 wc, wh = wire_channelizer_buffers(
-                    kfmt, taps, cfg.decimation, cfg.offsets_hz, cfg.input_rate
+                    kfmt, taps, cfg.decimation, cfg.offsets_hz,
+                    cfg.input_rate, m_mult=m_mult,
                 )
                 self._wire_bufs[fmt] = (
                     jax.device_put(wc), jax.device_put(wh)
@@ -743,7 +754,7 @@ class WidebandReceiver:
                     chans = pallas_wire_channelizer(
                         raw, ph, car, hf, fmt=kfmt, ntaps=taps.size,
                         decim=cfg.decimation, offsets=cfg.offsets_hz,
-                        rate=cfg.input_rate, n_in=n_in,
+                        rate=cfg.input_rate, n_in=n_in, m_mult=m_mult,
                     )
                     return _pack(demod(chans))
 

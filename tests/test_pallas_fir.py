@@ -176,3 +176,58 @@ class TestWireKernelParity:
         assert got.shape == ref.shape
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=2e-4)
+
+    @pytest.mark.parametrize("m_mult", [2, 4])
+    def test_cr1_m_mult_matches_base_tile(self, m_mult):
+        """Fatter output tiles (m_mult) amortize Mosaic's per-tile
+        overhead without touching the math: every invariant (carrier
+        periodicity over the tile advance, mR % 128, mR % bhR) survives
+        an integer multiple.  Same dots, same collapse — but the dot's
+        M dimension changes with the tile, and the CPU interpret path
+        (Eigen) picks a shape-dependent accumulation strategy, so only
+        rounding-level differences are allowed (observed ~1e-7 abs, ~2.5e-6 of full scale;
+        on Mosaic the systolic K-order is shape-independent)."""
+        from ais_tpu.ops.convert import host_bytes
+        from ais_tpu.ops.pallas_fir import (
+            pallas_wire_channelizer,
+            wire_channelizer_buffers,
+        )
+
+        rate, decim, offsets = 2.4e6, 50, (-25e3, 25e3)
+        taps = low_pass(1.0, rate, 11e3, 2e3)
+        rng = np.random.default_rng(23)
+        n_in = 400_000  # >1 tile at m_mult=1 (m=1536, n_out=7943)
+        iq = (
+            (rng.normal(size=n_in) + 1j * rng.normal(size=n_in)) * 0.3
+        ).astype(np.complex64)
+        raw = jnp.asarray(host_bytes(iq, "cr1"))
+        ph = jnp.asarray(
+            np.stack([mixer_phase(o, rate, 777) for o in offsets])
+        )
+
+        def run(k):
+            car, g = wire_channelizer_buffers(
+                "cr1", taps, decim, offsets, rate, m_mult=k
+            )
+            return np.asarray(
+                pallas_wire_channelizer(
+                    raw, ph, jnp.asarray(car), jnp.asarray(g), fmt="cr1",
+                    ntaps=taps.size, decim=decim, offsets=offsets,
+                    rate=rate, n_in=n_in, interpret=True, m_mult=k,
+                )
+            )
+
+        base, grown = run(1), run(m_mult)
+        assert grown.shape == base.shape
+        np.testing.assert_allclose(
+            grown, base, atol=1e-5 * np.abs(base).max(), rtol=0
+        )
+
+    def test_m_mult_rejected_off_cr1(self):
+        from ais_tpu.ops.pallas_fir import wire_channelizer_buffers
+
+        taps = low_pass(1.0, 2.4e6, 11e3, 2e3)
+        with pytest.raises(ValueError, match="m_mult"):
+            wire_channelizer_buffers(
+                "ci1", taps, 50, (-25e3, 25e3), 2.4e6, m_mult=2
+            )

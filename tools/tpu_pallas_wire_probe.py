@@ -29,6 +29,14 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=7)
     ap.add_argument("--fmt", default="ci2")
     ap.add_argument("--n-in", type=int, default=9_633_750 // 50 * 50)
+    ap.add_argument("--m-mult", type=int, default=1,
+                    help="cr1 output-tile multiplier (pallas_fir)")
+    ap.add_argument("--pallas-only", action="store_true",
+                    help="skip the XLA cross-check (its full-length "
+                    "carrier planes are ~16 bytes/sample of host->device "
+                    "transfer — minutes at production n_in; use the "
+                    "default two-sided run at small n_in for parity, "
+                    "this mode at production n_in for timing)")
     args = ap.parse_args()
 
     import jax
@@ -79,11 +87,15 @@ def main() -> int:
     phase0s = np.stack([mixer_phase(o, rate, 12345) for o in offsets])
     ph = jnp.asarray(phase0s)
 
-    carriers = jax.device_put(
-        to_planes(np.concatenate([_mixer_carrier(o, rate, n_in) for o in offsets]))
-    )
-    hf = jax.device_put(to_planes(polyphase_spectra(taps, decim, n_out)))
-    wc, wh = wire_channelizer_buffers(args.fmt, taps, decim, offsets, rate)
+    if not args.pallas_only:
+        carriers = jax.device_put(
+            to_planes(
+                np.concatenate([_mixer_carrier(o, rate, n_in) for o in offsets])
+            )
+        )
+        hf = jax.device_put(to_planes(polyphase_spectra(taps, decim, n_out)))
+    wc, wh = wire_channelizer_buffers(args.fmt, taps, decim, offsets, rate,
+                                      m_mult=args.m_mult)
     wc, wh = jax.device_put(wc), jax.device_put(wh)
 
     # Reduce outputs on device so the d2h fetch is negligible; consume.
@@ -97,12 +109,13 @@ def main() -> int:
     def run_pallas(r, p):
         y = pallas_wire_channelizer(
             r, p, wc, wh, fmt=args.fmt, ntaps=taps.size, decim=decim,
-            offsets=offsets, rate=rate, n_in=n_in,
+            offsets=offsets, rate=rate, n_in=n_in, m_mult=args.m_mult,
         )
         return jnp.stack([jnp.sum(jnp.real(y) * jnp.imag(y)),
                           jnp.sum(jnp.abs(y) ** 2)])
 
-    out = {"probe": "pallas_wire_channelizer", "fmt": args.fmt, "n_in": n_in}
+    out = {"probe": "pallas_wire_channelizer", "fmt": args.fmt, "n_in": n_in,
+           "m_mult": args.m_mult}
     t0 = time.time()
     try:
         vp = np.asarray(run_pallas(raw, ph))
@@ -112,13 +125,27 @@ def main() -> int:
         out["error"] = f"{type(e).__name__}: {str(e)[:400]}"
         print(json.dumps(out))
         return 1
+    out["device"] = str(jax.devices()[0])
+    if args.pallas_only:
+        assert np.all(np.isfinite(vp))
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.time()
+            np.asarray(run_pallas(raw, ph))
+            ts.append(time.time() - t0)
+        out["pallas_ms"] = round(float(np.median(ts)) * 1e3, 1)
+        out["pallas_ns_per_sample"] = round(
+            out["pallas_ms"] * 1e6 / n_in, 3
+        )
+        out["pallas"] = "ok"
+        print(json.dumps(out))
+        return 0
     t0 = time.time()
     vx = np.asarray(run_xla(raw, ph))
     out["xla_compile_s"] = round(time.time() - t0, 1)
 
     rel = float(np.max(np.abs(vp - vx) / (np.abs(vx) + 1e-9)))
     out["reduced_rel_err_vs_xla"] = round(rel, 7)
-    out["device"] = str(jax.devices()[0])
 
     for name, fn in (("pallas", run_pallas), ("xla", run_xla)):
         ts = []
