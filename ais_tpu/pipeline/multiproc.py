@@ -80,7 +80,8 @@ def _step_result(step_idx, epoch, pkts, timings: dict, nbytes: int):
 
 
 def _worker_main(
-    cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q, n_workers=1
+    cfg, n_in, fmt, platform, cache_dir, exec_lock, in_q, out_q, n_workers=1,
+    lock_flag=None,
 ):
     """One fan worker: build a receiver on its own device connection and
     decode the steps it is handed.  Runs in a spawned process.
@@ -159,13 +160,24 @@ def _worker_main(
         warm_wire = np.random.default_rng(1).integers(
             0, 256, size=wire_nbytes, dtype=np.uint8
         )
+
+        def _use_lock():
+            # The lock is advisory when the shared flag says so: the
+            # parent may flip serialization off mid-run (bench unlocked
+            # fan windows) after measuring that concurrent executions
+            # no longer thrash the service.
+            return exec_lock is not None and (
+                lock_flag is None or bool(lock_flag.value)
+            )
+
         try:
-            if exec_lock is not None:
+            locked = _use_lock()
+            if locked:
                 exec_lock.acquire()
             try:
                 rx.decode_wire(warm_wire, fmt)
             finally:
-                if exec_lock is not None:
+                if locked:
                     exec_lock.release()
         except Exception:  # noqa: BLE001 — warmup is an optimization only
             pass
@@ -195,7 +207,7 @@ def _worker_main(
             t0 = _time.perf_counter()
             jax.block_until_ready(staged[0])  # own-connection h2d drain
             t1 = _time.perf_counter()
-            if exec_lock is not None:
+            if _use_lock():
                 exec_lock.acquire()
                 t2 = _time.perf_counter()
                 try:  # one execution on the chip at a time
@@ -321,12 +333,20 @@ class MultiProcessWideband:
         # this lock only around dispatch+completion.  Measured on the
         # dev tunnel (tools/tpu_fan_probe.py): 40 -> 72 Msps for 2
         # workers at ci4.
-        exec_lock = ctx.Lock() if serialize_exec else None
+        # The lock always exists; a shared flag says whether dispatches
+        # honor it.  set_serialize_exec() flips it mid-run: bench's
+        # unlocked fan windows test the measured no-thrash regime
+        # (tools/tpu_fan_exec_probe.py duo: two concurrent clients each
+        # ran the full 96-block program at the solo ~51 ms/call) while
+        # the proven locked windows keep the guaranteed headline.
+        exec_lock = ctx.Lock()
+        self._lock_flag = ctx.Value("i", 1 if serialize_exec else 0)
         # MUST outlive worker startup: Process.start() drops its args
         # reference, and a GC'd SemLock finalizer sem_unlink()s the
         # named semaphore — a child still unpickling its args then dies
         # with FileNotFoundError during SemLock._rebuild.
         self._exec_lock = exec_lock
+        self._parent_holds = False
         # ONE shared input queue, workers PULL when free: the tunnel's
         # per-connection h2d bandwidth is wildly uneven minute-to-minute
         # (measured spread 12-713 MB/s across 6 simultaneous
@@ -350,6 +370,7 @@ class MultiProcessWideband:
                     self._in_q,
                     self._out_q,
                     n_workers,
+                    self._lock_flag,
                 ),
                 daemon=True,
             )
@@ -414,12 +435,25 @@ class MultiProcessWideband:
         runs without a concurrently-executing client degrading the
         shared tunnel service.  Workers still do their jax import,
         receiver build, and h2d probe concurrently."""
-        if self._exec_lock is not None:
+        if self._exec_lock is not None and bool(self._lock_flag.value):
             self._exec_lock.acquire()
+            self._parent_holds = True
 
     def release_exec(self) -> None:
-        if self._exec_lock is not None:
+        if self._parent_holds:
+            self._parent_holds = False
             self._exec_lock.release()
+
+    def set_serialize_exec(self, on: bool) -> None:
+        """Flip whether dispatches honor the shared exec lock, live.
+
+        Off = workers and parent_pump dispatch concurrently on their own
+        connections (the round-5 probes measured two concurrent clients
+        each running the full benched program at solo speed — the
+        round-3 '~29 s/step thrash' regime no longer exists on the
+        current service).  A worker already holding the lock finishes
+        its dispatch normally; the transition needs no barrier."""
+        self._lock_flag.value = 1 if on else 0
 
     def wait_ready(self, timeout: float, min_ready: int | None = None) -> int:
         """Block until `min_ready` workers are warm or `timeout` passes.
@@ -510,14 +544,17 @@ class MultiProcessWideband:
             t0b = time_mod.perf_counter()
             jax.block_until_ready(staged[0])
             t1 = time_mod.perf_counter()
-            if self._exec_lock is not None:
+            locked = self._exec_lock is not None and bool(
+                self._lock_flag.value
+            )
+            if locked:
                 self._exec_lock.acquire()
             t2 = time_mod.perf_counter()
             try:
                 handle = rx.dispatch_wire(staged)
                 jax.block_until_ready(handle[0])
             finally:
-                if self._exec_lock is not None:
+                if locked:
                     self._exec_lock.release()
             t3 = time_mod.perf_counter()
             fetched = rx.fetch_wire(handle)

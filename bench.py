@@ -671,13 +671,60 @@ def measure(backend: str) -> int:
                 _emit(_result(msps, parity, detail))
 
                 fan_windows: list[float] = []
+                fan_locked: list[bool] = []  # parallel: window ran locked?
                 fan_best = None
                 fan_max_windows = int(
                     os.environ.get("AIS_TPU_FAN_WINDOWS", "12")
                 )
+                # Unlocked fan windows (round 5): tools/tpu_fan_exec_probe
+                # duo measured two concurrent clients each running the
+                # full benched program at the solo ~51 ms/call — the
+                # round-3 "concurrent executions thrash (~29 s/step)"
+                # regime is gone from the current service, making the
+                # exec lock the fan's own bottleneck (locked dispatches
+                # measure ~158 ms under fan load vs ~54 solo).  The
+                # proven locked windows run FIRST (the guaranteed
+                # number), then the lock is dropped; the unlocked
+                # windows must clear their own parity gate, and a >20%
+                # regression vs the locked best re-locks for the rest of
+                # the phase.  AIS_TPU_FAN_UNLOCK_AFTER=-1 disables.
+                unlock_after = int(
+                    os.environ.get("AIS_TPU_FAN_UNLOCK_AFTER", "4")
+                )
+                unlocked = False
+                n_unlocked = 0
                 for _w in range(fan_max_windows):
                     if _remaining() < 75:
                         break
+                    if (
+                        not unlocked
+                        and unlock_after >= 0
+                        and _w >= unlock_after
+                        and fan._ready >= 1
+                    ):
+                        fan.set_serialize_exec(False)
+                        unlocked = True
+                        try:
+                            # Unlocked parity gate: same wire-0 replay
+                            # as window 0, at fresh step positions, time
+                            # excluded from the reported windows.
+                            rx.reset_dedup()
+                            _dtn, p_nolock = fan_window(
+                                parity_check=True, base=8192
+                            )
+                            fan_detail["fan_parity_nolock"] = round(
+                                p_nolock, 4
+                            )
+                        except Exception as e:  # noqa: BLE001
+                            fan.abandon_outstanding()
+                            fan_detail["fan_parity_nolock_error"] = (
+                                f"{type(e).__name__}: {e}"[:160]
+                            )
+                            p_nolock = None
+                        if not (p_nolock or 0) >= 0.999:
+                            fan.set_serialize_exec(True)
+                            unlocked = False
+                            unlock_after = -1  # failed the gate: stay locked
                     try:
                         dt, _ = fan_window(parity_check=False)
                     except Exception as e:  # noqa: BLE001
@@ -685,10 +732,41 @@ def measure(backend: str) -> int:
                         fan_detail["fan_window_error"] = (
                             f"{type(e).__name__}: {e}"[:160]
                         )
+                        if unlocked:
+                            # A failed unlocked window (drain timeout =
+                            # the thrash regime resurfacing) forfeits
+                            # unlocked mode, not the phase.
+                            fan.set_serialize_exec(True)
+                            unlocked = False
+                            unlock_after = -1
+                            continue
                         if _remaining() < 150:
                             break
                         continue
                     fan_windows.append(n_in * fan_iters / dt / 1e6)
+                    fan_locked.append(not unlocked)
+                    n_unlocked += int(unlocked)
+                    if unlocked and n_unlocked >= 2:
+                        locked_best = max(
+                            (
+                                v
+                                for v, lk in zip(fan_windows, fan_locked)
+                                if lk
+                            ),
+                            default=None,
+                        )
+                        unlocked_best = max(
+                            v
+                            for v, lk in zip(fan_windows, fan_locked)
+                            if not lk
+                        )
+                        if (
+                            locked_best is not None
+                            and unlocked_best < 0.8 * locked_best
+                        ):
+                            fan.set_serialize_exec(True)
+                            unlocked = False
+                            unlock_after = -1
                     if fan_best is None or dt < fan_best[0]:
                         fan_best = (dt, dict(fan.collect_stats))
                     fan_msps = max(fan_windows)
@@ -700,6 +778,9 @@ def measure(backend: str) -> int:
                             "fan_window_msps": [
                                 round(v, 1) for v in fan_windows
                             ],
+                            "fan_window_locked": [
+                                int(lk) for lk in fan_locked
+                            ],
                             "fan_collect_split": _split(fan_best[1]),
                             "fan_h2d_mbps_per_conn": list(fan.h2d_mbps),
                             "fan_ready_now": fan._ready,
@@ -709,6 +790,9 @@ def measure(backend: str) -> int:
                     # a window-0 content-parity of 1.0 (warmup parity
                     # covered only the single-process path).
                     if fan_msps > msps and (fan_parity or 0) >= 0.999:
+                        best_was_unlocked = not fan_locked[
+                            fan_windows.index(max(fan_windows))
+                        ]
                         _emit(
                             _result(
                                 fan_msps,
@@ -717,6 +801,11 @@ def measure(backend: str) -> int:
                                     **detail,
                                     "mode": (
                                         f"fan-{fan._ready}w+parent"
+                                        + (
+                                            "-nolock"
+                                            if best_was_unlocked
+                                            else ""
+                                        )
                                     ),
                                     **fan_detail,
                                 },

@@ -239,3 +239,42 @@ def test_fan_epoch_isolation_after_abandon():
         p.abs_sample for p in got2
     ]
     assert got1  # window 1 decoded something (scene covers step 0)
+
+
+def test_fan_unlock_toggle_matches_single_process():
+    """set_serialize_exec(False) mid-run: the exec lock becomes advisory
+    and workers dispatch concurrently; packet equivalence with the
+    single-process stream must hold across the transition (the bench's
+    unlocked fan windows rely on exactly this — first windows locked,
+    later windows unlocked, one shared deduper-free drain each)."""
+    cfg = WidebandConfig()
+    n48 = cfg.block_len + cfg.core_len
+    n_in = (n48 - 1) * cfg.decimation + num_taps(cfg)
+
+    fan = MultiProcessWideband(cfg, n_in=n_in, n_workers=2, platform="cpu")
+    n_steps = 6
+    total = fan.step_raw * n_steps + (fan.n_in - fan.step_raw)
+    wire, _tx = _capture(cfg, total)
+
+    rx = WidebandReceiver(cfg, n_in=fan.n_in)
+    want = []
+    for _i, step in wire_steps(wire, fan.n_in, fan.step_raw):
+        want.extend(rx.decode_wire(step, "ci8"))
+    want_set = sorted((p.payload, p.abs_sample, p.designator) for p in want)
+
+    with fan:
+        steps = list(wire_steps(wire, fan.n_in, fan.step_raw))
+        # First half locked, then flip the shared flag live.
+        got = []
+        for i, step in steps[: n_steps // 2]:
+            fan.submit(i, np.array(step))
+        got.extend(fan.drain())
+        fan.set_serialize_exec(False)
+        for i, step in steps[n_steps // 2:]:
+            fan.submit(i, np.array(step))
+        got.extend(fan.drain())
+        # And back on: the flag must be re-acquirable (bench re-locks on
+        # an unlocked-window regression).
+        fan.set_serialize_exec(True)
+    got_set = sorted((p.payload, p.abs_sample, p.designator) for p in got)
+    assert got_set == want_set
