@@ -601,8 +601,15 @@ def measure(backend: str) -> int:
                 # tail (each participant gets only ~2.7 steps); 4 steps
                 # per participant dilutes ramp + tail in the measured
                 # number.
+                # 32 steps per window (was 24): in unlocked mode the
+                # window's ramp (staggered first dispatches) and drain
+                # tail (last straggler) dilute the measured rate by
+                # ~10-15% at 24 steps; 32 cuts that to ~8-10% while a
+                # worst-case degraded window (~145 Msps) still fits in
+                # ~12.5 s.  Both r5 validation runs finished with >half
+                # their budget to spare.
                 fan_iters = int(
-                    os.environ.get("AIS_TPU_FAN_ITERS", str(3 * iters))
+                    os.environ.get("AIS_TPU_FAN_ITERS", str(4 * iters))
                 )
                 step_chan = rx.step_raw // cfg.decimation
 
