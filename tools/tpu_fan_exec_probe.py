@@ -122,22 +122,33 @@ def main() -> int:
     out["device"] = str(jax.devices()[0])
 
     if args.mode == "lazy":
+        # Fresh content per iteration (jax memoizes device_put by host
+        # array identity), generated OUTSIDE the timed window.
         waits, execs = [], []
+        cpu_w, cpu_e = [], []
         host_bufs = [
-            rng.integers(0, 256, nbytes, dtype=np.uint8) for _ in range(3)
+            rng.integers(0, 256, nbytes, dtype=np.uint8)
+            for _ in range(args.iters)
         ]
         for i in range(args.iters):
-            t0 = time.time()
-            staged = jax.device_put(host_bufs[i % 3])
+            t0, c0 = time.time(), time.process_time()
+            staged = jax.device_put(host_bufs[i])
             jax.block_until_ready(staged)
-            t1 = time.time()
+            t1, c1 = time.time(), time.process_time()
             np.asarray(fn(staged, ph))
-            t2 = time.time()
+            t2, c2 = time.time(), time.process_time()
             waits.append(t1 - t0)
             execs.append(t2 - t1)
+            cpu_w.append(c1 - c0)
+            cpu_e.append(c2 - c1)
             del staged
         out["h2d_wait_ms"] = round(float(np.median(waits)) * 1e3, 1)
         out["exec_ms"] = round(float(np.median(execs)) * 1e3, 1)
+        # CPU burned while "waiting": ~= wall means the client spins
+        # (poison on a small-core host running many fan workers);
+        # ~= 0 means it truly blocks.
+        out["h2d_wait_cpu_ms"] = round(float(np.median(cpu_w)) * 1e3, 1)
+        out["exec_cpu_ms"] = round(float(np.median(cpu_e)) * 1e3, 1)
         out["wait_implies_mbps"] = round(
             nbytes / max(float(np.median(waits)), 1e-9) / 1e6, 1
         )
